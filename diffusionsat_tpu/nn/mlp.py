@@ -1,0 +1,80 @@
+"""MLP as explicit param pytrees (init/apply pure functions).
+
+Port of the reference `model/mlp.py:12` (Dense stack, leaky_relu hidden
+activations, linear output). Explicit pytrees keep the recurrent models'
+control flow (grad-inside-scan, while_loop inference) free of framework
+machinery — everything is a pure function of (params, inputs).
+
+Initialization matches Keras Dense defaults: glorot_uniform kernels, zero
+biases.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def leaky_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference model/mlp.py:7-9."""
+    sg = jax.nn.sigmoid(1.702 * x)
+    return x * (0.8 * sg + 0.2)
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    """tf.nn.leaky_relu default (alpha=0.2), the reference MLP activation."""
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+class MLPConfig(NamedTuple):
+    layer_count: int
+    hidden: int
+    out: int
+    activation: str = "leaky_relu"  # hidden activation
+    out_activation: str | None = None
+    init_zero: bool = False
+    out_bias: float | None = None
+
+
+_ACTS = {
+    "leaky_relu": leaky_relu,
+    "leaky_gelu": leaky_gelu,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    None: lambda x: x,
+}
+
+
+def _glorot(key, fan_in: int, fan_out: int) -> jnp.ndarray:
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, (fan_in, fan_out), jnp.float32,
+                              -limit, limit)
+
+
+def mlp_init(key: jax.Array, cfg: MLPConfig, in_dim: int) -> dict:
+    """Create {'w': [kernels...], 'b': [biases...]} for the Dense stack."""
+    dims = [in_dim] + [cfg.hidden] * (cfg.layer_count - 1) + [cfg.out]
+    ws, bs = [], []
+    keys = jax.random.split(key, len(dims) - 1)
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+        last = i == len(dims) - 2
+        if last and cfg.init_zero:
+            ws.append(jnp.zeros((d_in, d_out), jnp.float32))
+        else:
+            ws.append(_glorot(keys[i], d_in, d_out))
+        bias_val = cfg.out_bias if (last and cfg.out_bias is not None) else 0.0
+        bs.append(jnp.full((d_out,), bias_val, jnp.float32))
+    return {"w": ws, "b": bs}
+
+
+def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray) -> jnp.ndarray:
+    act = _ACTS[cfg.activation]
+    out_act = _ACTS[cfg.out_activation]
+    n = len(params["w"])
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        x = out_act(x) if i == n - 1 else act(x)
+    return x
