@@ -1,0 +1,178 @@
+"""Reverse-diffusion SAT solution sampler.
+
+Port of the reference `satuniformity/DiffusionSampler.py` with the hot loop
+moved fully on-device: the reference iterates N denoising steps in Python,
+calling a tf.function per step and checking per-graph satisfiability on the
+host (`diffusion():78-191`); here the whole reverse chain — randomized
+rounding, model call, categorical posterior step, per-graph early freezing
+— is one `lax.fori_loop` inside a single jit. Host code only packs batches
+and accumulates the sample histogram.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionsat_tpu.diffusion.schedule import (
+    randomized_rounding,
+    reverse_distribution_step_theoretic,
+)
+from diffusionsat_tpu.graph.batch import BucketSpec, SatBatch, build_batch
+from diffusionsat_tpu.losses.sat import is_graph_sat
+from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_apply
+from diffusionsat_tpu.ops.graph_ops import graph_gather_vars
+from diffusionsat_tpu.sat.cnf import CNF, VariableAssignment
+from diffusionsat_tpu.sat.solvers import enumerate_models
+
+
+def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
+                         use_baseline_sampling: bool = True,
+                         self_supervised: bool = False,
+                         test_rounds: int = 32):
+    """Build the jitted full reverse chain.
+
+    Returns fn(params, batch, key) -> (bits [V] int32, solved_graphs [G],
+    fixed_step [V]) replicating reference `diffusion():105-191` semantics:
+    per step t: noise 1-t/N, randomized rounding, model denoise, theoretic
+    posterior step, and freezing of graphs whose rounded prediction already
+    satisfies them.
+    """
+    N = diffusion_steps
+
+    def chain(params, batch: SatBatch, key: jax.Array):
+        V = batch.V
+
+        def body(t, carry):
+            x, fixed_mask, fixed_bits, fixed_step, key, prev_pred = carry
+            key, k_round, k_model = jax.random.split(key, 3)
+            noise_scale = 1.0 - t.astype(jnp.float32) / N
+
+            x_noisy = randomized_rounding(k_round, x)
+            if use_baseline_sampling:
+                x = x_noisy
+
+            denoised = prev_pred[:, None] if self_supervised else None
+            logits, _, _, _ = query_sat_apply(
+                params, cfg, batch, k_model, training=False,
+                noise_scale=noise_scale, noisy_num=x_noisy,
+                denoised_num=denoised, rounds=test_rounds)
+            predictions = jax.nn.sigmoid(logits[:, 0])  # [V]
+
+            x = reverse_distribution_step_theoretic(
+                x, jnp.stack([1 - predictions, predictions], axis=1),
+                noise_scale, 1.0 / N)
+
+            # per-graph freeze (reference :154-170): graphs whose rounded
+            # prediction is SAT get their bits pinned at this step
+            pred_bits = jnp.round(predictions)
+            sat_g = is_graph_sat(logits, batch)[:, 0]           # [G]
+            sat_v = graph_gather_vars(batch, sat_g[:, None])[:, 0]  # [V]
+            newly = (sat_v > 0.5) & (fixed_mask < 0.5)
+            fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
+            fixed_step = jnp.where(newly, t, fixed_step)
+            fixed_mask = jnp.maximum(fixed_mask, sat_v)
+
+            return (x, fixed_mask, fixed_bits, fixed_step, key, predictions)
+
+        init = (
+            jnp.full((V, 2), 0.5),                 # x
+            jnp.zeros((V,)),                       # fixed_mask
+            jnp.zeros((V,)),                       # fixed_bits
+            jnp.full((V,), -1, jnp.int32),         # fixed_step
+            key,
+            jnp.full((V,), 0.5),                   # prev predictions
+        )
+        x, fixed_mask, fixed_bits, fixed_step, key, predictions = \
+            jax.lax.fori_loop(0, N, body, init)
+
+        final_bits = jnp.where(fixed_mask > 0.5, fixed_bits,
+                               jnp.round(predictions)).astype(jnp.int32)
+        # solved graphs under the final assignment
+        final_logits = (final_bits.astype(jnp.float32) * 2 - 1)[:, None] * 10.0
+        solved = is_graph_sat(final_logits, batch)[:, 0]
+        return final_bits, solved, fixed_step
+
+    return jax.jit(chain)
+
+
+class DiffusionSampler:
+    """Sample SAT solutions of one formula via reverse diffusion
+    (reference `satuniformity/DiffusionSampler.py:195-311`).
+
+    `samples(n)` returns {solution_int: count} over satisfying samples,
+    drawing batches of the formula repeated `graphs_per_batch` times until
+    n SAT samples accumulate; aborts when the SAT rate drops below 0.5%
+    (reference `:261-263`).
+    """
+
+    def __init__(self, params: Any, cfg: QuerySATConfig, cnf: CNF,
+                 bucket: BucketSpec | None = None,
+                 diffusion_steps: int = 32, test_rounds: int = 32,
+                 graphs_per_batch: int | None = None,
+                 use_baseline_sampling: bool = True,
+                 self_supervised: bool = False, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.cnf = cnf
+        self.n_vars = cnf.number_of_vars()
+        self.clauses = cnf.clauses()
+        n_cells = sum(len(c) for c in self.clauses)
+        if graphs_per_batch is None:
+            graphs_per_batch = max(1, min(
+                128,
+                2000 // max(self.n_vars, 1),
+            ))
+        if bucket is None:
+            g = graphs_per_batch
+            bucket = BucketSpec(
+                max_vars=-(-self.n_vars * g // 128) * 128,
+                max_clauses=-(-len(self.clauses) * g // 128) * 128,
+                max_edges=-(-n_cells * g // 512) * 512,
+                max_graphs=g)
+        self.graphs_per_batch = min(graphs_per_batch, bucket.max_graphs)
+        self.bucket = bucket
+        self.key = jax.random.key(seed)
+        self.chain = make_diffusion_chain(
+            cfg, diffusion_steps=diffusion_steps,
+            use_baseline_sampling=use_baseline_sampling,
+            self_supervised=self_supervised, test_rounds=test_rounds)
+        formulas = [(self.n_vars, self.clauses)] * self.graphs_per_batch
+        sols = [[0] * self.n_vars] * self.graphs_per_batch
+        self.batch = build_batch(formulas, self.bucket, solutions=sols)
+
+    def samples(self, n_samples: int, max_batches: int = 10_000
+                ) -> dict[int, int]:
+        counts: dict[int, int] = {}
+        total = 0
+        sat_total = 0
+        needed = n_samples
+        for _ in range(max_batches):
+            if needed <= 0:
+                break
+            if total > 0 and sat_total / total < 0.005:
+                print("too many unsat samples; stopping diffusion")
+                break
+            self.key, subkey = jax.random.split(self.key)
+            bits, solved, _ = self.chain(self.params, self.batch, subkey)
+            bits = np.asarray(bits)
+            solved = np.asarray(solved)
+            for g in range(self.graphs_per_batch):
+                lo = g * self.n_vars
+                row = bits[lo:lo + self.n_vars]
+                total += 1
+                asgn = VariableAssignment(self.n_vars, self.clauses)
+                asgn.assign_all_from_bit_list(row.tolist())
+                if asgn.satisfiable():
+                    sat_total += 1
+                    k = int(asgn)
+                    counts[k] = counts.get(k, 0) + 1
+                    needed -= 1
+                    if needed <= 0:
+                        break
+        self.success_rate = sat_total / max(total, 1)
+        return counts

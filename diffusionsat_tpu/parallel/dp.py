@@ -1,0 +1,92 @@
+"""Data-parallel training over a device mesh.
+
+Each device processes one packed SatBatch per step (a packed batch is
+already hundreds of concatenated graphs, so per-device batches are the
+natural DP unit — SURVEY.md §2.10). Parameters and optimizer state are
+replicated; gradients are psum-averaged over the "data" axis via
+`shard_map`, riding ICI. This is new design — the reference is strictly
+single-GPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from diffusionsat_tpu.graph.batch import SatBatch
+from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_apply
+from diffusionsat_tpu.train.loop import TrainState
+
+
+def stack_batches(batches: list[SatBatch]) -> SatBatch:
+    """Stack D same-bucket batches along a new leading device axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
+def make_dp_train_step(cfg: QuerySATConfig,
+                       optimizer: optax.GradientTransformation,
+                       mesh: Mesh) -> Callable:
+    """Build the jitted DP train step.
+
+    Takes (state, stacked_batch [D, ...]) with D == mesh 'data' axis size;
+    returns (state, metrics). Gradients are averaged with psum over 'data';
+    the optimizer update runs identically on every device, keeping params
+    replicated without a broadcast.
+    """
+    n_data = mesh.shape["data"]
+
+    batch_spec = P("data")
+    repl = P()
+
+    def per_device_step(params, opt_state, step, key, batch: SatBatch):
+        # shard_map passes block-local views: leading dim of the batch is 1
+        batch = jax.tree.map(lambda x: x[0], batch)
+        dev_idx = jax.lax.axis_index("data")
+        dev_key = jax.random.fold_in(jax.random.fold_in(key, dev_idx),
+                                     step)
+
+        def loss_fn(p):
+            _, loss, steps, _ = query_sat_apply(
+                p, cfg, batch, dev_key, training=True,
+                labels=batch.solutions)
+            return loss, steps
+
+        (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        steps = jax.lax.pmean(steps.astype(jnp.float32), "data")
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        gradnorm = optax.global_norm(grads)
+        return new_params, new_opt_state, loss, steps, gradnorm
+
+    sharded = shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(repl, repl, repl, repl, batch_spec),
+        out_specs=(repl, repl, repl, repl, repl),
+        check_vma=False)
+
+    @jax.jit
+    def train_step(state: TrainState, stacked_batch: SatBatch):
+        key, subkey = jax.random.split(state.key)
+        params, opt_state, loss, steps, gradnorm = sharded(
+            state.params, state.opt_state, state.step, subkey, stacked_batch)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, key=key)
+        return new_state, {"loss": loss, "steps_taken": steps,
+                           "gradnorm": gradnorm}
+
+    return train_step
+
+
+def shard_stacked_batch(stacked: SatBatch, mesh: Mesh) -> SatBatch:
+    """Place a stacked batch with dim 0 sharded over the 'data' axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)

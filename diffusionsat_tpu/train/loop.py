@@ -1,0 +1,133 @@
+"""Training loop: jitted train/predict steps + the driver.
+
+The analog of the reference's `diffusion_training.py:277-350` train loop and
+QuerySAT's `train_step`/`predict_step` (`model/query_sat.py:375-451`), as
+pure jitted functions over an explicit TrainState. Checkpointing uses orbax
+(reference `tf.train.CheckpointManager`, `diffusion_training.py:353-363`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from diffusionsat_tpu.graph.batch import SatBatch
+from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_apply
+from diffusionsat_tpu.train.metrics import Metric
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32
+    key: jax.Array
+
+
+def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
+                    ) -> Callable[[TrainState, SatBatch], tuple[TrainState, dict]]:
+    """Jitted supervised-diffusion train step
+    (reference model/query_sat.py:380-391)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: SatBatch):
+        key, subkey = jax.random.split(state.key)
+
+        def loss_fn(params):
+            _, loss, steps, _ = query_sat_apply(
+                params, cfg, batch, subkey, training=True,
+                labels=batch.solutions)
+            return loss, steps
+
+        (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        gradnorm = optax.global_norm(grads)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, key=key)
+        return new_state, {"loss": loss, "steps_taken": steps,
+                           "gradnorm": gradnorm}
+
+    return train_step
+
+
+def make_predict_step(cfg: QuerySATConfig):
+    """Jitted predict step (reference model/query_sat.py:424-451)."""
+
+    @jax.jit
+    def predict_step(params, batch: SatBatch, key: jax.Array):
+        logits, loss, steps, aux = query_sat_apply(
+            params, cfg, batch, key, training=False)
+        return {"prediction": logits[:, 0], "loss": loss,
+                "steps_taken": steps}
+
+    return predict_step
+
+
+def evaluate_metrics(params, cfg: QuerySATConfig, data, metrics: list[Metric],
+                     key: jax.Array, max_batches: int | None = None) -> dict:
+    """Run predict over a dataset, accumulate metrics
+    (reference main.py:324-352)."""
+    predict_step = make_predict_step(cfg)
+    it = iter(data)
+    if max_batches is not None:
+        it = itertools.islice(it, max_batches)
+    for batch in it:
+        key, subkey = jax.random.split(key)
+        out = predict_step(params, batch, subkey)
+        for m in metrics:
+            m.update_state(out, batch)
+    values = {}
+    for m in metrics:
+        values.update(m.get_values(reset_state=True))
+    return values
+
+
+def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
+          steps: int, log_every: int = 100,
+          eval_fn: Callable[[TrainState], dict] | None = None,
+          eval_every: int = 1000,
+          checkpoint_fn: Callable[[TrainState], None] | None = None,
+          ckpt_every: int = 1000,
+          log_file: str | Path | None = None) -> TrainState:
+    """Driver loop (reference diffusion_training.py:277-350)."""
+    import json
+
+    t0 = time.time()
+    window_losses = []
+    for i in range(steps):
+        batch = next(data_iter)
+        state, out = train_step(state, batch)
+        window_losses.append(float(out["loss"]))
+        step = int(state.step)
+        if (i + 1) % log_every == 0:
+            dt = time.time() - t0
+            t0 = time.time()
+            msg = {
+                "step": step,
+                "loss": sum(window_losses) / len(window_losses),
+                "steps_per_sec": log_every / dt,
+            }
+            print(f"[train] {msg}")
+            if log_file is not None:
+                with Path(log_file).open("a") as f:
+                    f.write(json.dumps(msg) + "\n")
+            window_losses = []
+        if eval_fn is not None and (i + 1) % eval_every == 0:
+            vals = eval_fn(state)
+            print(f"[eval @ {step}] {vals}")
+            if log_file is not None:
+                with Path(log_file).open("a") as f:
+                    f.write(json.dumps({"step": step, **vals}) + "\n")
+        if checkpoint_fn is not None and (i + 1) % ckpt_every == 0:
+            checkpoint_fn(state)
+    return state

@@ -1,0 +1,121 @@
+"""Metrics with the reference's sink contract.
+
+Port of `metrics/base.py:5-53` and `metrics/sat_metrics.py`: each metric
+accumulates over update_state(model_output, batch) calls and can log to
+stdout / a JSON-lines file / an in-memory dict. TensorBoard scalars are
+replaced by the JSONL sink (utils/summary.py analog, dependency-free).
+"""
+
+from __future__ import annotations
+
+import json
+from abc import ABC, abstractmethod
+from pathlib import Path
+from statistics import mean, median_high
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionsat_tpu.graph.batch import SatBatch
+from diffusionsat_tpu.losses.sat import is_graph_sat
+
+
+class Metric(ABC):
+    """update/log contract (reference metrics/base.py:5-28)."""
+
+    @abstractmethod
+    def update_state(self, model_output: dict, batch: SatBatch) -> None:
+        ...
+
+    @abstractmethod
+    def get_values(self, reset_state: bool = True) -> dict:
+        ...
+
+    def reset_state(self) -> None:
+        ...
+
+    def log_in_stdout(self, step: int | None = None, reset_state=True):
+        vals = self.get_values(reset_state)
+        prefix = f"[step {step}] " if step is not None else ""
+        print(prefix + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+
+    def log_in_file(self, file: str, step: int | None = None,
+                    reset_state=True):
+        vals = self.get_values(reset_state)
+        rec = {"step": step, **{k: float(v) for k, v in vals.items()}}
+        with Path(file).open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class EmptyMetric(Metric):
+    def update_state(self, model_output, batch):
+        pass
+
+    def get_values(self, reset_state=True):
+        return {}
+
+
+def sat_accuracy(predictions: jnp.ndarray, batch: SatBatch
+                 ) -> tuple[float, np.ndarray]:
+    """(per-variable accuracy vs stored solutions, per-graph solved bools)
+    — the math of reference `SATAccuracyTF.accuracy`
+    (metrics/sat_metrics.py:60-85)."""
+    logits = predictions if predictions.ndim == 2 else predictions[:, None]
+    logits_np = np.asarray(logits)
+    pred_bits = np.round(1.0 / (1.0 + np.exp(-logits_np)))
+    sols = np.asarray(batch.solutions)
+    var_mask = np.asarray(batch.var_mask)
+    n_vars = max(var_mask.sum(), 1.0)
+    acc = float((np.equal(pred_bits[:, 0], sols) * var_mask).sum() / n_vars)
+    solved = np.asarray(is_graph_sat(jnp.asarray(logits), batch))[:, 0]
+    graph_mask = np.asarray(batch.graph_mask) > 0
+    return acc, solved[graph_mask] > 0.5
+
+
+class SATAccuracy(Metric):
+    """Mean per-variable accuracy + fraction of fully solved graphs."""
+
+    def __init__(self) -> None:
+        self.accs: list[float] = []
+        self.solved: list[np.ndarray] = []
+
+    def update_state(self, model_output, batch):
+        acc, solved = sat_accuracy(model_output["prediction"], batch)
+        self.accs.append(acc)
+        self.solved.append(solved)
+
+    def get_values(self, reset_state=True):
+        accs, solved = self.accs, self.solved
+        out = {
+            "accuracy": float(np.mean(accs)) if accs else 0.0,
+            "total_accuracy": float(np.concatenate(solved).mean())
+            if solved else 0.0,
+        }
+        if reset_state:
+            self.reset_state()
+        return out
+
+    def reset_state(self):
+        self.accs, self.solved = [], []
+
+
+class StepStatistics(Metric):
+    """Mean/median rounds taken (reference metrics/sat_metrics.py:104-141)."""
+
+    def __init__(self) -> None:
+        self.steps: list[int] = []
+
+    def update_state(self, model_output, batch):
+        self.steps.append(int(model_output["steps_taken"]) + 1)
+
+    def get_values(self, reset_state=True):
+        out = {
+            "mean_steps": mean(self.steps) if self.steps else 0.0,
+            "median_steps": median_high(self.steps) if self.steps else 0.0,
+        }
+        if reset_state:
+            self.reset_state()
+        return out
+
+    def reset_state(self):
+        self.steps = []

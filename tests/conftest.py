@@ -6,6 +6,8 @@ Mirrors SURVEY.md §4's implication: multi-chip paths are validated with
 
 import os
 
+# the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
