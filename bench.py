@@ -71,15 +71,16 @@ def main():
                        step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
     train_step = make_train_step(cfg, opt)
 
-    # warmup / compile
+    # warmup / compile; NB fetch the loss to the host each step — through
+    # the axon tunnel block_until_ready alone does not wait for execution
     state, out = train_step(state, batch)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = train_step(state, batch)
-    jax.block_until_ready(out["loss"])
+        float(out["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     rounds = cfg.train_rounds

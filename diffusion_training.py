@@ -1,0 +1,114 @@
+"""DiffusionSAT training entry point.
+
+The analog of reference `diffusion_training.py:31-499`: QuerySAT +
+diffusion-labeled hard 3-SAT, AdaBelief with cosine decay, periodic eval
+and checkpointing. Run:
+
+    python diffusion_training.py --train_steps 10000 --max_vars 30
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from diffusionsat_tpu.config import RunConfig, parse_config
+from diffusionsat_tpu.data.datasets import SatDataset
+from diffusionsat_tpu.data.generators import (
+    DiffusionSatInstances,
+    KSatInstances,
+    SAT3Instances,
+)
+from diffusionsat_tpu.graph.batch import BucketSpec
+from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_init
+from diffusionsat_tpu.train.adabelief import adabelief, cosine_decay_schedule
+from diffusionsat_tpu.train.checkpoint import CheckpointManager
+from diffusionsat_tpu.train.loop import (
+    TrainState,
+    evaluate_metrics,
+    make_train_step,
+    train,
+)
+from diffusionsat_tpu.train.metrics import SATAccuracy, StepStatistics
+
+
+def build_dataset(cfg: RunConfig) -> SatDataset:
+    if cfg.use_hard_3sat:
+        base = SAT3Instances(min_vars=cfg.min_vars, max_vars=cfg.max_vars,
+                             train_size=cfg.train_size,
+                             test_size=cfg.test_size, seed=cfg.seed)
+    else:
+        base = KSatInstances(
+            min_vars=cfg.min_vars, max_vars=cfg.max_vars,
+            train_size=cfg.train_size, test_size=cfg.test_size,
+            desired_multiplier_for_the_number_of_solutions=(
+                cfg.desired_multiplier_for_the_number_of_solutions),
+            seed=cfg.seed)
+    instances = DiffusionSatInstances(base, use_unigen=cfg.use_unigen,
+                                      seed=cfg.seed)
+    bucket = BucketSpec.for_node_budget(cfg.max_nodes_per_batch)
+    name = (f"diffusion_{'3sat' if cfg.use_hard_3sat else 'ksat'}_"
+            f"{cfg.min_vars}_{cfg.max_vars}_{cfg.train_size}")
+    return SatDataset(instances, bucket, cache_dir=cfg.data_dir, name=name,
+                      force_data_gen=cfg.force_data_gen, seed=cfg.seed)
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    if cfg.eager:
+        jax.config.update("jax_disable_jit", True)
+        jax.config.update("jax_debug_nans", True)
+
+    model_cfg = QuerySATConfig(
+        feature_maps=cfg.feature_maps, query_maps=cfg.query_maps,
+        train_rounds=cfg.train_rounds, test_rounds=cfg.test_rounds,
+        logit_maps=cfg.logit_maps)
+
+    lr = cosine_decay_schedule(cfg.initial_learning_rate, cfg.train_steps,
+                               cfg.cosine_alpha) if cfg.use_cosine_decay \
+        else cfg.learning_rate
+    optimizer = adabelief(learning_rate=lr, eps=1e-8, clip_gradients=True)
+
+    params = query_sat_init(jax.random.key(cfg.seed), model_cfg)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       key=jax.random.key(cfg.seed + 1))
+
+    run_dir = cfg.run_dir()
+    run_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_dir = cfg.restore if cfg.restore else run_dir / "ckpt"
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg.ckpt_count)
+    restored = mgr.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"Restored from step {int(state.step)}")
+
+    dataset = build_dataset(cfg)
+    train_data = dataset.train_data()
+    test_data = dataset.test_data()
+    print(f"train batches: {len(train_data)}, test batches: {len(test_data)}")
+
+    train_step = make_train_step(model_cfg, optimizer)
+
+    def eval_fn(st):
+        return evaluate_metrics(
+            st.params, model_cfg, test_data,
+            [SATAccuracy(), StepStatistics()], jax.random.key(99),
+            max_batches=8)
+
+    state = train(
+        state, train_step, train_data.repeat_shuffled(),
+        steps=cfg.train_steps - int(state.step),
+        eval_fn=eval_fn, eval_every=cfg.eval_every,
+        checkpoint_fn=mgr.save, ckpt_every=cfg.ckpt_every,
+        log_file=run_dir / "train_log.jsonl")
+    mgr.save(state)
+    final = eval_fn(state)
+    print(f"[final] {final}")
+    return final
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

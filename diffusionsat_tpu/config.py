@@ -1,0 +1,93 @@
+"""Typed run configuration + argparse override.
+
+Replacement for the reference's static `Config` class (`config.py:22-141`)
+without the global-mutable-class and subprocess-registry hacks: a frozen
+dataclass built from argparse, with registry choice lists resolved by
+direct import.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # diffusion training defaults (reference config.py:24-41)
+    train_steps: int = 167_000
+    min_vars: int = 3
+    max_vars: int = 30
+    desired_multiplier_for_the_number_of_solutions: int = 10
+    use_hard_3sat: bool = True
+    max_nodes_per_batch: int = 20_000
+    use_cosine_decay: bool = True
+    learning_rate: float = 3e-4
+    initial_learning_rate: float = 1e-3
+    cosine_alpha: float = 0.5
+    use_unigen: bool = True
+    train_size: int = 100_000
+    test_size: int = 10_000
+
+    # dirs (reference config.py:46-49)
+    data_dir: str = "data_cache"
+    train_dir: str = "runs"
+    ckpt_count: int = 3
+    eval_every: int = 1000
+    ckpt_every: int = 1000
+
+    # task/model selection (reference config.py:60-71)
+    task: str = "3-sat"
+    model: str = "query_sat"
+    input_mode: str = "literals"
+    sat_solver_for_generators: str = "cdcl"
+
+    # mode flags (reference config.py:74-82)
+    restore: str | None = None
+    force_data_gen: bool = False
+    eager: bool = False  # maps to jax disable_jit/debug_nans
+    label: str = ""
+
+    # model knobs
+    train_rounds: int = 32
+    test_rounds: int = 64
+    feature_maps: int = 128
+    query_maps: int = 128
+    logit_maps: int = 8
+
+    seed: int = 0
+
+    def run_dir(self) -> Path:
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        label = f"_{self.label}" if self.label else ""
+        return Path(self.train_dir) / f"{self.model}_{self.task}{label}_{stamp}"
+
+
+def parse_config(argv: list[str] | None = None) -> RunConfig:
+    from diffusionsat_tpu.registry import (
+        DATASET_REGISTRY, MODEL_REGISTRY, SOLVER_REGISTRY)
+
+    defaults = RunConfig()
+    p = argparse.ArgumentParser()
+    for f in dataclasses.fields(RunConfig):
+        name = f"--{f.name}"
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true"),
+                           default=default)
+        elif f.name == "model":
+            p.add_argument(name, default=default,
+                           choices=MODEL_REGISTRY.registered_names)
+        elif f.name == "task":
+            p.add_argument(name, default=default,
+                           choices=DATASET_REGISTRY.registered_names)
+        elif f.name == "sat_solver_for_generators":
+            p.add_argument(name, default=default,
+                           choices=SOLVER_REGISTRY.registered_names)
+        else:
+            typ = type(default) if default is not None else str
+            p.add_argument(name, type=typ, default=default)
+    args = p.parse_args(argv)
+    return RunConfig(**vars(args))

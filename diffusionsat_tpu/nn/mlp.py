@@ -36,12 +36,17 @@ class MLPConfig(NamedTuple):
     out_activation: str | None = None
     init_zero: bool = False
     out_bias: float | None = None
+    # LayerNorm (no-bias first Dense + norm + activation) after the first
+    # hidden layer, matching reference model/mlp.py:26-31
+    do_layer_norm: bool = False
+    norm_axis: int = 0
 
 
 _ACTS = {
     "leaky_relu": leaky_relu,
     "leaky_gelu": leaky_gelu,
     "relu": jax.nn.relu,
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
     None: lambda x: x,
@@ -67,14 +72,31 @@ def mlp_init(key: jax.Array, cfg: MLPConfig, in_dim: int) -> dict:
             ws.append(_glorot(keys[i], d_in, d_out))
         bias_val = cfg.out_bias if (last and cfg.out_bias is not None) else 0.0
         bs.append(jnp.full((d_out,), bias_val, jnp.float32))
-    return {"w": ws, "b": bs}
+    params = {"w": ws, "b": bs}
+    if cfg.do_layer_norm and cfg.layer_count > 1:
+        params["norm_bias"] = jnp.zeros((cfg.hidden,), jnp.float32)
+    return params
 
 
 def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray) -> jnp.ndarray:
+    from diffusionsat_tpu.nn.normalization import layer_norm
+
     act = _ACTS[cfg.activation]
     out_act = _ACTS[cfg.out_activation]
     n = len(params["w"])
     for i, (w, b) in enumerate(zip(params["w"], params["b"])):
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-        x = out_act(x) if i == n - 1 else act(x)
+        last = i == n - 1
+        if cfg.do_layer_norm and not last:
+            # reference model/mlp.py:28-31: Dense (bias only for i>0) ->
+            # LayerNorm after the first hidden layer -> activation
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            if i > 0:
+                x = x + b
+            if i == 0:
+                x = layer_norm(x, axis=cfg.norm_axis, subtract_mean=True,
+                               bias=params["norm_bias"])
+            x = act(x)
+        else:
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+            x = out_act(x) if last else act(x)
     return x
