@@ -31,19 +31,32 @@ class TrainState:
     key: jax.Array
 
 
-def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
-                    ) -> Callable[[TrainState, SatBatch], tuple[TrainState, dict]]:
-    """Jitted supervised-diffusion train step
-    (reference model/query_sat.py:380-391)."""
+def _accepts_labels(apply_fn: Callable) -> bool:
+    import inspect
+    try:
+        return "labels" in inspect.signature(apply_fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def make_train_step_for(apply_fn: Callable, cfg,
+                        optimizer: optax.GradientTransformation
+                        ) -> Callable[[TrainState, SatBatch],
+                                      tuple[TrainState, dict]]:
+    """Jitted train step for any model with the standard apply contract
+    (params, cfg, batch, key, training[, labels]) -> (logits, loss, steps,
+    aux). Supervised models (QuerySAT's diffusion path) get the batch's
+    solution bits as labels."""
+    with_labels = _accepts_labels(apply_fn)
 
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch):
         key, subkey = jax.random.split(state.key)
 
         def loss_fn(params):
-            _, loss, steps, _ = query_sat_apply(
-                params, cfg, batch, subkey, training=True,
-                labels=batch.solutions)
+            kw = {"labels": batch.solutions} if with_labels else {}
+            _, loss, steps, _ = apply_fn(params, cfg, batch, subkey,
+                                         training=True, **kw)
             return loss, steps
 
         (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -60,12 +73,19 @@ def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
     return train_step
 
 
-def make_predict_step(cfg: QuerySATConfig):
+def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
+                    ) -> Callable[[TrainState, SatBatch], tuple[TrainState, dict]]:
+    """Jitted supervised-diffusion train step on QuerySAT
+    (reference model/query_sat.py:380-391)."""
+    return make_train_step_for(query_sat_apply, cfg, optimizer)
+
+
+def make_predict_step(cfg, apply_fn: Callable = query_sat_apply):
     """Jitted predict step (reference model/query_sat.py:424-451)."""
 
     @jax.jit
     def predict_step(params, batch: SatBatch, key: jax.Array):
-        logits, loss, steps, aux = query_sat_apply(
+        logits, loss, steps, aux = apply_fn(
             params, cfg, batch, key, training=False)
         return {"prediction": logits[:, 0], "loss": loss,
                 "steps_taken": steps}
@@ -73,11 +93,12 @@ def make_predict_step(cfg: QuerySATConfig):
     return predict_step
 
 
-def evaluate_metrics(params, cfg: QuerySATConfig, data, metrics: list[Metric],
-                     key: jax.Array, max_batches: int | None = None) -> dict:
+def evaluate_metrics(params, cfg, data, metrics: list[Metric],
+                     key: jax.Array, max_batches: int | None = None,
+                     apply_fn: Callable = query_sat_apply) -> dict:
     """Run predict over a dataset, accumulate metrics
     (reference main.py:324-352)."""
-    predict_step = make_predict_step(cfg)
+    predict_step = make_predict_step(cfg, apply_fn)
     it = iter(data)
     if max_batches is not None:
         it = itertools.islice(it, max_batches)
