@@ -71,10 +71,21 @@ def main(argv=None):
         else cfg.learning_rate
     optimizer = adabelief(learning_rate=lr, eps=1e-8, clip_gradients=True)
 
-    params = query_sat_init(jax.random.key(cfg.seed), model_cfg)
-    state = TrainState(params=params, opt_state=optimizer.init(params),
-                       step=jnp.zeros((), jnp.int32),
-                       key=jax.random.key(cfg.seed + 1))
+    # materialize the dataset before touching the accelerator (data gen is
+    # pure host work) and build params on CPU — the per-op latency of a
+    # remote accelerator makes many tiny init ops expensive
+    dataset = build_dataset(cfg)
+    train_data = dataset.train_data()
+    test_data = dataset.test_data()
+    print(f"train batches: {len(train_data)}, test batches: {len(test_data)}",
+          flush=True)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = query_sat_init(jax.random.key(cfg.seed), model_cfg)
+        state = TrainState(params=params, opt_state=optimizer.init(params),
+                           step=jnp.zeros((), jnp.int32),
+                           key=jax.random.key(cfg.seed + 1))
+    state = jax.device_put(state, jax.devices()[0])
 
     run_dir = cfg.run_dir()
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -84,11 +95,6 @@ def main(argv=None):
     if restored is not None:
         state = restored
         print(f"Restored from step {int(state.step)}")
-
-    dataset = build_dataset(cfg)
-    train_data = dataset.train_data()
-    test_data = dataset.test_data()
-    print(f"train batches: {len(train_data)}, test batches: {len(test_data)}")
 
     train_step = make_train_step(model_cfg, optimizer)
 

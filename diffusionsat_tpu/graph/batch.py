@@ -183,22 +183,25 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
     graph_mask = np.zeros(G, dtype=np.float32)
     graph_mask[:n_graphs] = 1.0
 
+    # NB: arrays stay host-side numpy — device transfer happens once at the
+    # jitted step call. Building on-device here would round-trip the
+    # accelerator for every batch during data generation.
     return SatBatch(
-        edge_lit_c=jnp.asarray(edge_lit_c),
-        edge_clause_c=jnp.asarray(edge_clause_c),
-        edge_mask_c=jnp.asarray(emask),
-        edge_lit_l=jnp.asarray(edge_lit_l),
-        edge_clause_l=jnp.asarray(edge_clause_l),
-        edge_mask_l=jnp.asarray(emask),
-        var_mask=jnp.asarray(var_mask),
-        clause_mask=jnp.asarray(clause_mask),
-        var_graph=jnp.asarray(var_graph),
-        clause_graph=jnp.asarray(clause_graph),
-        graph_mask=jnp.asarray(graph_mask),
-        n_vars_per_graph=jnp.asarray(n_vars_per_graph),
-        n_clauses_per_graph=jnp.asarray(n_clauses_per_graph),
-        solutions=jnp.asarray(sol),
-        n_vars=jnp.asarray(v_off, dtype=jnp.int32),
-        n_clauses=jnp.asarray(c_off, dtype=jnp.int32),
-        n_graphs=jnp.asarray(n_graphs, dtype=jnp.int32),
+        edge_lit_c=edge_lit_c,
+        edge_clause_c=edge_clause_c,
+        edge_mask_c=emask,
+        edge_lit_l=edge_lit_l,
+        edge_clause_l=edge_clause_l,
+        edge_mask_l=emask,
+        var_mask=var_mask,
+        clause_mask=clause_mask,
+        var_graph=var_graph,
+        clause_graph=clause_graph,
+        graph_mask=graph_mask,
+        n_vars_per_graph=n_vars_per_graph,
+        n_clauses_per_graph=n_clauses_per_graph,
+        solutions=sol,
+        n_vars=np.asarray(v_off, dtype=np.int32),
+        n_clauses=np.asarray(c_off, dtype=np.int32),
+        n_graphs=np.asarray(n_graphs, dtype=np.int32),
     )
