@@ -20,7 +20,7 @@ from diffusionsat_tpu.ops.graph_ops import (
 )
 
 
-def layer_norm(x: jnp.ndarray, axis: int = 1, epsilon: float = 1e-6,
+def layer_norm(x: jnp.ndarray, axis: int | tuple = 1, epsilon: float = 1e-6,
                subtract_mean: bool = False, bias: jnp.ndarray | None = None
                ) -> jnp.ndarray:
     """RMS-style LayerNorm (reference layers/normalization.py:4-24)."""

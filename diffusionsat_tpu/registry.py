@@ -58,6 +58,9 @@ MODEL_REGISTRY.register("simple_neurosat", _model_entry(
 MODEL_REGISTRY.register("attention_sat", _model_entry(
     "diffusionsat_tpu.models.attention_sat", "AttentionSATConfig",
     "attention_sat_init", "attention_sat_apply"))
+MODEL_REGISTRY.register("anf_sat", _model_entry(
+    "diffusionsat_tpu.models.anf_sat", "ANFSATConfig", "anf_sat_init",
+    "anf_sat_apply"))
 
 
 def _dataset_entry(module: str, name: str):
@@ -88,6 +91,10 @@ DATASET_REGISTRY.register("primes", _dataset_entry(
     "diffusionsat_tpu.data.loaders", "PrimesInstances"))
 DATASET_REGISTRY.register("mixed", _dataset_entry(
     "diffusionsat_tpu.data.loaders", "MixedInstances"))
+DATASET_REGISTRY.register("sha1", _dataset_entry(
+    "diffusionsat_tpu.data.sha", "Sha1Instances"))
+DATASET_REGISTRY.register("anf", _dataset_entry(
+    "diffusionsat_tpu.data.anf", "RandomAnfInstances"))
 
 
 SOLVER_REGISTRY = Registry("sat_solver")

@@ -522,3 +522,173 @@ int dsat_walksat(int n_vars, const int32_t* lits, int64_t n_lits, int8_t* model,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TSP subtour-cut finder (replaces the reference Cython extension
+// loss/tsp_subtours_cy.pyx): greedily add edges in descending predicted
+// weight, merging components (union-find for symmetric TSP; Tarjan SCC for
+// asymmetric), and emit violated subtour cuts (component cuts with
+// predicted weight < 1) as (cut_id, flat_edge_index) pairs.
+
+namespace {
+
+struct UnionFind {
+  std::vector<int> parent;
+  explicit UnionFind(int n) : parent(n) {
+    for (int i = 0; i < n; i++) parent[i] = i;
+  }
+  int find(int x) {
+    while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+    return x;
+  }
+  void unite(int a, int b) { parent[find(a)] = find(b); }
+};
+
+// iterative Tarjan SCC over a dense 0/1 adjacency
+void strongly_connected(const std::vector<int8_t>& adj, int n,
+                        std::vector<int>& comp) {
+  std::vector<int> index(n, -1), low(n, 0), stack_pos(n, 0);
+  std::vector<bool> on_stack(n, false);
+  std::vector<int> stk, call_node, call_child;
+  comp.assign(n, -1);
+  int idx = 0, n_comp = 0;
+  for (int s = 0; s < n; s++) {
+    if (index[s] != -1) continue;
+    call_node.push_back(s);
+    call_child.push_back(0);
+    index[s] = low[s] = idx++;
+    stk.push_back(s);
+    on_stack[s] = true;
+    while (!call_node.empty()) {
+      int v = call_node.back();
+      int& child = call_child.back();
+      bool descended = false;
+      while (child < n) {
+        int w = child++;
+        if (!adj[v * n + w]) continue;
+        if (index[w] == -1) {
+          index[w] = low[w] = idx++;
+          stk.push_back(w);
+          on_stack[w] = true;
+          call_node.push_back(w);
+          call_child.push_back(0);
+          descended = true;
+          break;
+        } else if (on_stack[w]) {
+          low[v] = std::min(low[v], index[w]);
+        }
+      }
+      if (descended) continue;
+      if (low[v] == index[v]) {
+        for (;;) {
+          int w = stk.back(); stk.pop_back();
+          on_stack[w] = false;
+          comp[w] = n_comp;
+          if (w == v) break;
+        }
+        n_comp++;
+      }
+      call_node.pop_back();
+      call_child.pop_back();
+      if (!call_node.empty()) {
+        int parent = call_node.back();
+        low[parent] = std::min(low[parent], low[v]);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// preds/adj: [batch, padded, padded] float32 row-major. out_pairs receives
+// (cut_id, flat_index) int64 pairs; returns number of pairs written (or
+// the required count if it exceeds max_pairs — caller should retry).
+long long dsat_tsp_subtours(int batch, int padded, const float* preds,
+                            const float* adj, float padding_value,
+                            int symmetric, long long* out_pairs,
+                            long long max_pairs) {
+  long long written = 0;
+  long long cut_id = 0;
+  std::vector<int> comp(padded);
+  for (int g = 0; g < batch; g++) {
+    const float* P = preds + (long long)g * padded * padded;
+    const float* A = adj + (long long)g * padded * padded;
+    int n = padded;
+    if (A[padded - 1] == padding_value) {
+      n = 0;
+      while (n < padded && A[n] != padding_value) n++;
+    }
+    if (n <= 2) continue;
+
+    struct Edge { float w; int i, j; };
+    std::vector<Edge> edges;
+    edges.reserve((size_t)n * n);
+    for (int i = 0; i < n; i++)
+      for (int j = 0; j < n; j++) {
+        float w = symmetric ? P[i * padded + j] + P[j * padded + i]
+                            : P[i * padded + j];
+        edges.push_back({w, i, j});
+      }
+    std::sort(edges.begin(), edges.end(), [](const Edge& a, const Edge& b) {
+      if (a.w != b.w) return a.w > b.w;
+      if (a.i != b.i) return a.i < b.i;
+      return a.j < b.j;
+    });
+
+    UnionFind uf(n);
+    std::vector<int8_t> dadj;
+    if (!symmetric) dadj.assign((size_t)n * n, 0);
+    for (int i = 0; i < n; i++) comp[i] = i;
+
+    auto emit_cut = [&](int target_comp, bool outgoing) {
+      // cut weight in the given direction
+      double w = 0;
+      for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+          bool in_i = comp[i] == target_comp, in_j = comp[j] == target_comp;
+          if (outgoing ? (in_i && !in_j) : (!in_i && in_j))
+            w += P[i * padded + j];
+        }
+      if (w >= 1.0) return;
+      for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+          bool in_i = comp[i] == target_comp, in_j = comp[j] == target_comp;
+          if (outgoing ? (in_i && !in_j) : (!in_i && in_j)) {
+            if (written < max_pairs) {
+              out_pairs[2 * written] = cut_id;
+              out_pairs[2 * written + 1] =
+                  (long long)g * padded * padded + (long long)i * padded + j;
+            }
+            written++;
+          }
+        }
+      cut_id++;
+    };
+
+    for (const Edge& e : edges) {
+      if (comp[e.i] == comp[e.j]) continue;
+      int edge_comp;
+      if (symmetric) {
+        uf.unite(e.j, e.i);
+        for (int i = 0; i < n; i++) comp[i] = uf.find(i);
+        edge_comp = comp[e.i];
+      } else {
+        dadj[e.i * n + e.j] = 1;
+        strongly_connected(dadj, n, comp);
+        edge_comp = comp[e.i];
+      }
+      bool one_component = true;
+      for (int i = 0; i < n; i++)
+        if (comp[i] != edge_comp) { one_component = false; break; }
+      if (one_component) break;
+
+      emit_cut(edge_comp, true);   // outgoing cut
+      emit_cut(edge_comp, false);  // incoming cut
+    }
+  }
+  return written;
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""TSP decoders + optimality-gap metrics.
+
+Port of reference `metrics/tsp_metrics.py`: greedy and beam-search tour
+decoding from the model's edge probability matrix, plus the relative
+optimality gap vs the labeled tour.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from diffusionsat_tpu.tsp import PADDING_VALUE
+from diffusionsat_tpu.tsp.data import tour_length
+
+
+def get_unpadded_size(row: np.ndarray) -> int:
+    idx = np.where(row == PADDING_VALUE)[0]
+    return int(idx[0]) if len(idx) else len(row)
+
+
+def greedy_decode(probs: np.ndarray, n: int) -> list[int]:
+    """Follow max-probability outgoing edges from node 0
+    (reference metrics/tsp_metrics.py:12-60 greedy search)."""
+    visited = [0]
+    cur = 0
+    for _ in range(n - 1):
+        order = np.argsort(-probs[cur, :n])
+        for nxt in order:
+            if nxt not in visited:
+                visited.append(int(nxt))
+                cur = int(nxt)
+                break
+    return visited
+
+
+def beam_decode(probs: np.ndarray, n: int, beam_width: int = 128
+                ) -> list[int]:
+    """Beam search over partial tours scored by sum of log-probs
+    (reference metrics/tsp_metrics.py:286-378)."""
+    logp = np.log(np.clip(probs[:n, :n], 1e-12, 1.0))
+    beams = [(0.0, [0], 1 << 0)]
+    for _ in range(n - 1):
+        cand = []
+        for score, tour, mask in beams:
+            cur = tour[-1]
+            for nxt in range(n):
+                if mask & (1 << nxt):
+                    continue
+                cand.append((score + logp[cur, nxt], tour + [nxt],
+                             mask | (1 << nxt)))
+        cand.sort(key=lambda x: -x[0])
+        beams = cand[:beam_width]
+    best = max(beams, key=lambda x: x[0] + logp[x[1][-1], 0])
+    return best[1]
+
+
+class TSPMetrics:
+    """Mean optimality gap of decoded tours vs labels
+    (reference metrics/tsp_metrics.py:109-283)."""
+
+    def __init__(self, beam_width: int = 128, use_beam: bool = True):
+        self.beam_width = beam_width
+        self.use_beam = use_beam
+        self.gaps: list[float] = []
+
+    def update_state(self, model_output: dict, batch: dict) -> None:
+        preds = np.asarray(model_output["prediction"])  # [B, P, P]
+        adj = np.asarray(batch["adj_matrix"])
+        labels = np.asarray(batch["labels"])
+        probs = 1.0 / (1.0 + np.exp(-preds))
+        for g in range(preds.shape[0]):
+            n = get_unpadded_size(adj[g][0])
+            if n < 3:
+                continue
+            dist = adj[g][:n, :n]
+            if self.use_beam:
+                tour = beam_decode(probs[g], n, self.beam_width)
+            else:
+                tour = greedy_decode(probs[g], n)
+            # optimal length from the label matrix (labels mark both
+            # directions for Euclidean tours; walk avoiding revisits)
+            model_len = tour_length(dist, tour)
+            neigh: dict[int, list[int]] = {}
+            for i, j in np.argwhere(labels[g][:n, :n] == 1.0):
+                neigh.setdefault(int(i), []).append(int(j))
+            opt_tour = [0]
+            seen = {0}
+            while len(opt_tour) < n:
+                options = [j for j in neigh.get(opt_tour[-1], [])
+                           if j not in seen]
+                if not options:
+                    break
+                opt_tour.append(options[0])
+                seen.add(options[0])
+            opt_len = tour_length(dist, opt_tour)
+            if opt_len > 0:
+                self.gaps.append(model_len / opt_len - 1.0)
+
+    def get_values(self, reset_state: bool = True) -> dict:
+        out = {"optimality_gap": float(np.mean(self.gaps)) if self.gaps
+               else 0.0,
+               "solved_optimal": float(np.mean([g <= 1e-6 for g in
+                                                self.gaps]))
+               if self.gaps else 0.0}
+        if reset_state:
+            self.gaps = []
+        return out
