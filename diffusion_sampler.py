@@ -1,0 +1,70 @@
+"""Draw SAT solution samples from a trained model via reverse diffusion.
+
+Analog of reference `diffusion_sampler.py` (drives
+`satuniformity/DiffusionSampler`):
+
+    python diffusion_sampler.py --dimacs f.cnf --model_ckpt runs/.../ckpt \
+        --n_samples 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
+from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_init
+from diffusionsat_tpu.sat.cnf import CNF
+from diffusionsat_tpu.train.adabelief import adabelief
+from diffusionsat_tpu.train.checkpoint import CheckpointManager
+from diffusionsat_tpu.train.loop import TrainState
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dimacs", required=True)
+    p.add_argument("--model_ckpt", required=True)
+    p.add_argument("--n_samples", type=int, default=100)
+    p.add_argument("--diffusion_steps", type=int, default=32)
+    p.add_argument("--test_rounds", type=int, default=32)
+    p.add_argument("--feature_maps", type=int, default=128)
+    p.add_argument("--query_maps", type=int, default=128)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    cnf = CNF.load(args.dimacs)
+    cfg = QuerySATConfig(feature_maps=args.feature_maps,
+                         query_maps=args.query_maps,
+                         test_rounds=args.test_rounds)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = query_sat_init(jax.random.key(0), cfg)
+        opt = adabelief()
+        template = TrainState(params=params, opt_state=opt.init(params),
+                              step=jnp.zeros((), jnp.int32),
+                              key=jax.random.key(0))
+    restored = CheckpointManager(args.model_ckpt).restore(template)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {args.model_ckpt}")
+
+    sampler = DiffusionSampler(jax.device_put(restored.params,
+                                              jax.devices()[0]),
+                               cfg, cnf,
+                               diffusion_steps=args.diffusion_steps,
+                               test_rounds=args.test_rounds)
+    counts = sampler.samples(args.n_samples)
+    print(f"success rate: {sampler.success_rate:.4f}")
+    print(f"{len(counts)} distinct solutions over "
+          f"{sum(counts.values())} SAT samples")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({str(k): v for k, v in counts.items()}, f)
+    else:
+        for k, v in sorted(counts.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
