@@ -73,6 +73,9 @@ class QuerySATConfig:
     # extra input channels: noisy solution one-hot (2) + t-emb (1) +
     # self-conditioning denoised channel (2)
     dtype: Any = jnp.float32
+    # matmul operand dtype (None = float32; jnp.bfloat16 for MXU mixed
+    # precision with f32 accumulation)
+    compute_dtype: Any = None
 
     @property
     def label_channels(self) -> int:
@@ -194,13 +197,15 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
 
         grads, clauses_loss = jax.grad(clause_loss_fn, has_aux=True)(
             mlp_apply(params["variables_query"],
-                      mcfgs["variables_query"][0], v1))
+                      mcfgs["variables_query"][0], v1,
+                      compute_dtype=cfg.compute_dtype))
         variables_grad = grads * var_degree_weight
         clauses_loss = clauses_loss * 4.0
 
         # --- clause update (reference :251-266)
         if cfg.use_message_passing:
-            var_msg = mlp_apply(params["lit_mlp"], mcfgs["lit_mlp"][0], v1)
+            var_msg = mlp_apply(params["lit_mlp"], mcfgs["lit_mlp"][0], v1,
+                                compute_dtype=cfg.compute_dtype)
             lit1, lit2 = jnp.split(var_msg, 2, axis=1)
             literals = jnp.concatenate([lit1, lit2], axis=0)  # [2V, Q]
             clause_messages = lit_to_clause(batch, literals) * rev_degree_weight
@@ -209,7 +214,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         else:
             clause_unit = jnp.concatenate([clause_state, clauses_loss], axis=-1)
         clause_data = mlp_apply(params["clause_mlp"],
-                                mcfgs["clause_mlp"][0], clause_unit)
+                                mcfgs["clause_mlp"][0], clause_unit,
+                                compute_dtype=cfg.compute_dtype)
 
         variables_loss_all = clause_data[:, :cfg.query_maps]
         new_clause_value = clause_data[:, cfg.query_maps:]
@@ -224,13 +230,15 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
             [variables_grad, v1, variables_loss_pos, variables_loss_neg],
             axis=-1)
         new_variables = mlp_apply(params["update_gate"],
-                                  mcfgs["update_gate"][0], unit)
+                                  mcfgs["update_gate"][0], unit,
+                                  compute_dtype=cfg.compute_dtype)
         new_variables = pair_norm_vars(new_variables, batch) * 0.25
         new_variables = new_variables + 0.1 * variables
 
         # --- logits and per-graph loss (reference :283-315)
         logits = mlp_apply(params["variables_output"],
-                           mcfgs["variables_output"][0], new_variables)
+                           mcfgs["variables_output"][0], new_variables,
+                           compute_dtype=cfg.compute_dtype)
         if cfg.supervised:
             per_var_loss = diffusion_kl_loss(smoothed_labels, logits,
                                              noise_scale)

@@ -78,18 +78,30 @@ def mlp_init(key: jax.Array, cfg: MLPConfig, in_dim: int) -> dict:
     return params
 
 
-def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray) -> jnp.ndarray:
+def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
+    """Apply the Dense stack. With `compute_dtype` (e.g. jnp.bfloat16) the
+    matmul operands are cast down while accumulation and activations stay
+    float32 — the standard TPU mixed-precision recipe (MXU bf16 inputs,
+    f32 accumulate)."""
     from diffusionsat_tpu.nn.normalization import layer_norm
 
     act = _ACTS[cfg.activation]
     out_act = _ACTS[cfg.out_activation]
     n = len(params["w"])
+
+    def dot(a, w):
+        if compute_dtype is not None:
+            a = a.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
     for i, (w, b) in enumerate(zip(params["w"], params["b"])):
         last = i == n - 1
         if cfg.do_layer_norm and not last:
             # reference model/mlp.py:28-31: Dense (bias only for i>0) ->
             # LayerNorm after the first hidden layer -> activation
-            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            x = dot(x, w)
             if i > 0:
                 x = x + b
             if i == 0:
@@ -97,6 +109,6 @@ def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray) -> jnp.ndarray:
                                bias=params["norm_bias"])
             x = act(x)
         else:
-            x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+            x = dot(x, w) + b
             x = out_act(x) if last else act(x)
     return x

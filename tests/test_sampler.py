@@ -1,0 +1,50 @@
+"""Diffusion sampler chain tests (CPU, tiny model)."""
+
+import numpy as np
+
+import jax
+
+from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
+from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_init
+from diffusionsat_tpu.sat.cnf import CNF, VariableAssignment
+from diffusionsat_tpu.diffusion.schedule import (
+    distribution_at_time,
+    reverse_distribution_step_theoretic,
+)
+import jax.numpy as jnp
+
+
+def test_reverse_step_converges_to_model_prediction():
+    # when the model is certain (x0 one-hot) repeated reverse steps drive x
+    # toward that one-hot as t -> 0
+    x = jnp.full((4, 2), 0.5)
+    x0 = jnp.asarray([[1.0, 0.0]] * 4)
+    N = 16
+    for t_idx in range(N):
+        t = 1.0 - t_idx / N
+        x = reverse_distribution_step_theoretic(x, x0, t, 1.0 / N)
+    assert float(jnp.min(x[:, 0])) > 0.9
+
+
+def test_distribution_at_time_limits():
+    x = jnp.asarray([[1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(distribution_at_time(x, 0.0)),
+                               [[1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(distribution_at_time(x, 1.0)),
+                               [[0.5, 0.5]])
+
+
+def test_sampler_untrained_model_runs_and_counts_only_sat():
+    # an untrained tiny model: samples() must only ever record satisfying
+    # assignments, whatever the success rate
+    cnf = CNF(n_vars=3, clauses=[[1, 2], [-1, 3], [2, 3]])
+    cfg = QuerySATConfig(feature_maps=8, query_maps=8, train_rounds=2,
+                         test_rounds=2)
+    params = query_sat_init(jax.random.key(0), cfg)
+    sampler = DiffusionSampler(params, cfg, cnf, diffusion_steps=4,
+                               test_rounds=2, graphs_per_batch=8, seed=1)
+    counts = sampler.samples(5, max_batches=4)
+    for sol_int in counts:
+        asgn = VariableAssignment(3, cnf.clauses())
+        asgn.assign_all_from_int(sol_int)
+        assert asgn.satisfiable()
