@@ -99,6 +99,52 @@ class SATAccuracy(Metric):
         self.accs, self.solved = [], []
 
 
+class SATAccuracySolver(Metric):
+    """Solver-backed accuracy cross-check (reference `SATAccuracy`,
+    metrics/sat_metrics.py:144-225): per graph, re-extract the formula,
+    check the rounded prediction with the native CDCL solver (assumption
+    solve), and compare per-variable bits against a solver model. An
+    independent implementation of the same metric as SATAccuracy (the
+    pure-array one) — the reference keeps both as a built-in cross-check.
+    """
+
+    def __init__(self) -> None:
+        self.accs: list[float] = []
+        self.correct: list[int] = []
+
+    def update_state(self, model_output, batch):
+        from diffusionsat_tpu.evaluation.harness import extract_formulas
+        from diffusionsat_tpu.sat.cnf import check_assignment
+        from diffusionsat_tpu.sat.solvers import solve
+
+        logits = np.asarray(model_output["prediction"])
+        pred_bits = (1.0 / (1.0 + np.exp(-logits)) > 0.5).astype(int)
+        off = 0
+        for n_vars, clauses in extract_formulas(batch):
+            bits = pred_bits[off:off + n_vars].tolist()
+            off += n_vars
+            sat = check_assignment(clauses, bits)
+            self.correct.append(1 if sat else 0)
+            ok, model = solve(clauses, n_vars)
+            assert ok, "dataset instance should be satisfiable"
+            model_bits = [1 if l > 0 else 0 for l in model]
+            eq = sum(int(a == b) for a, b in zip(bits, model_bits))
+            self.accs.append(eq / max(n_vars, 1))
+
+    def get_values(self, reset_state=True):
+        out = {
+            "accuracy": float(np.mean(self.accs)) if self.accs else 0.0,
+            "total_accuracy": float(np.mean(self.correct))
+            if self.correct else 0.0,
+        }
+        if reset_state:
+            self.reset_state()
+        return out
+
+    def reset_state(self):
+        self.accs, self.correct = [], []
+
+
 class StepStatistics(Metric):
     """Mean/median rounds taken (reference metrics/sat_metrics.py:104-141)."""
 
