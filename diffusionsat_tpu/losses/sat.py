@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from diffusionsat_tpu.graph.batch import SatBatch
 from diffusionsat_tpu.ops.graph_ops import (
     clause_segment_sum,
+    clause_to_lit,
     lit_to_clause,
 )
 
@@ -42,6 +43,34 @@ def softplus_loss(logits: jnp.ndarray, batch: SatBatch, power: float = 1.0
     literals = jax.nn.softplus(literal_concat(logits))
     clauses_val = jnp.exp(-lit_to_clause(batch, literals) * power)
     return clauses_val * batch.clause_mask[:, None]
+
+
+def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(softplus_loss per clause, gradient of its sum wrt logits) in closed
+    form.
+
+    d/dx_v sum_c exp(-S_c) = sum_{edges (lit,c) of v}
+        -exp(-S_c) * sigmoid(+/-x_v) * (+/-1)
+    i.e. one clause->literal aggregation of the clause values weighted by
+    the literal sigmoid — the same SpMM shape as the loss itself. Replaces
+    autodiff for the query gradient inside the recurrent loop (reference
+    model/query_sat.py:227-245): values are identical to jax.grad, but the
+    outer backward then differentiates plain first-order ops instead of a
+    nested-grad (Hessian) structure.
+    """
+    logits = _as_2d(logits)
+    literals = literal_concat(logits)
+    sp = jax.nn.softplus(literals)
+    clauses_val = jnp.exp(-lit_to_clause(batch, sp))
+    clauses_val = clauses_val * batch.clause_mask[:, None]
+
+    sig = jax.nn.sigmoid(literals)                       # d softplus
+    back = clause_to_lit(batch, clauses_val)             # [2V, K]
+    per_lit = -back * sig
+    V = batch.V
+    grad = per_lit[:V] - per_lit[V:]                     # +/- literal signs
+    return clauses_val, grad
 
 
 def softplus_log_loss(logits: jnp.ndarray, batch: SatBatch, eps: float = 1e-8

@@ -35,6 +35,7 @@ from diffusionsat_tpu.losses.sat import (
     is_batch_sat,
     linear_loss,
     softplus_loss,
+    softplus_loss_and_grad,
     softplus_mixed_loss,
 )
 from diffusionsat_tpu.nn.mlp import MLPConfig, mlp_apply, mlp_init
@@ -188,17 +189,15 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         k_v1 = key_t
 
         # --- query + gradient of clause loss wrt query (reference :227-245)
+        # computed in closed form (losses.softplus_loss_and_grad) — same
+        # values as autodiff, but first-order ops under the outer backward
         noise4 = jax.random.normal(k_v1, (V, 4), cfg.dtype)
         v1 = jnp.concatenate([variables, noise4, noisy_labels], axis=-1)
 
-        def clause_loss_fn(q):
-            cl = softplus_loss(q, batch)  # [C, Q]
-            return jnp.sum(cl), cl
-
-        grads, clauses_loss = jax.grad(clause_loss_fn, has_aux=True)(
-            mlp_apply(params["variables_query"],
-                      mcfgs["variables_query"][0], v1,
-                      compute_dtype=cfg.compute_dtype))
+        query = mlp_apply(params["variables_query"],
+                          mcfgs["variables_query"][0], v1,
+                          compute_dtype=cfg.compute_dtype)
+        clauses_loss, grads = softplus_loss_and_grad(query, batch)
         variables_grad = grads * var_degree_weight
         clauses_loss = clauses_loss * 4.0
 
