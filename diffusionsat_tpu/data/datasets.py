@@ -40,7 +40,16 @@ def _load_batches(path: Path) -> list[SatBatch]:
     out = []
     fields = [f for f in SatBatch.__dataclass_fields__]
     for i in range(n):
-        kwargs = {f: data[f"{i}/{f}"] for f in fields}
+        kwargs = {}
+        for f in fields:
+            key = f"{i}/{f}"
+            if key in data:
+                kwargs[f] = data[key]
+            elif f == "edge_perm_l":  # older cache schema
+                E = len(data[f"{i}/edge_lit_l"])
+                kwargs[f] = np.arange(E, dtype=np.int32)
+            else:
+                raise KeyError(key)
         out.append(SatBatch(**kwargs))
     return out
 

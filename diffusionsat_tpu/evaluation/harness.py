@@ -164,6 +164,7 @@ def permute_batch_variables(batch: SatBatch, seed: int = 0) -> SatBatch:
             np.asarray(batch.edge_clause_c)[order_l].astype(np.int32)),
         edge_mask_l=jnp.asarray(
             np.asarray(batch.edge_mask_c)[order_l].astype(np.float32)),
+        edge_perm_l=jnp.asarray(order_l.astype(np.int32)),
         solutions=jnp.asarray(sols),
     )
 
@@ -186,6 +187,7 @@ def invert_batch_polarity(batch: SatBatch) -> SatBatch:
             np.asarray(batch.edge_clause_c)[order_l].astype(np.int32)),
         edge_mask_l=jnp.asarray(
             np.asarray(batch.edge_mask_c)[order_l].astype(np.float32)),
+        edge_perm_l=jnp.asarray(order_l.astype(np.int32)),
         solutions=jnp.asarray(sols.astype(np.int32)),
     )
 

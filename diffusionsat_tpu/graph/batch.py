@@ -71,6 +71,8 @@ class SatBatch:
     edge_lit_l: jnp.ndarray     # [E] int32, sorted ascending
     edge_clause_l: jnp.ndarray  # [E] int32
     edge_mask_l: jnp.ndarray    # [E] f32
+    # permutation: literal-order position j = clause-order position perm[j]
+    edge_perm_l: jnp.ndarray    # [E] int32
     # node masks and graph membership
     var_mask: jnp.ndarray       # [V] f32
     clause_mask: jnp.ndarray    # [C] f32
@@ -173,6 +175,8 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
     edge_clause_c = _pad(ec[order_c], E, C - 1)
     edge_lit_l = _pad(el[order_c][order_l], E, 2 * V - 1)
     edge_clause_l = _pad(ec[order_c][order_l], E, C - 1)
+    edge_perm_l = np.arange(E, dtype=np.int32)
+    edge_perm_l[:n_edges] = order_l
     emask = np.zeros(E, dtype=np.float32)
     emask[:n_edges] = 1.0
 
@@ -193,6 +197,7 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
         edge_lit_l=edge_lit_l,
         edge_clause_l=edge_clause_l,
         edge_mask_l=emask,
+        edge_perm_l=edge_perm_l,
         var_mask=var_mask,
         clause_mask=clause_mask,
         var_graph=var_graph,

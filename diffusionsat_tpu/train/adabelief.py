@@ -41,6 +41,14 @@ def cosine_decay_schedule(initial_lr: float = 1e-3, decay_steps: int = 167_000,
     return schedule
 
 
+def gradient_accumulator(inner: optax.GradientTransformation, every: int
+                         ) -> optax.GradientTransformation:
+    """Accumulate gradients over `every` steps, applying the inner update
+    on the boundary (reference optimization/gradient_accumulator.py:8-81
+    `GradientAccumulatorWrapper`)."""
+    return optax.MultiSteps(inner, every_k_schedule=every)
+
+
 def adabelief(learning_rate: float | optax.Schedule = 1e-3,
               b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
               weight_decay: float = 0.0, rectify: bool = True,

@@ -145,6 +145,53 @@ class SATAccuracySolver(Metric):
         self.accs, self.correct = [], []
 
 
+class ANFAccuracy(Metric):
+    """Per-variable and per-graph accuracy on ANF batches (reference
+    `ANFAccuracyTF`, metrics/anf_metrics.py:5-66): a graph counts as
+    correct when every equation evaluates to its target parity under the
+    rounded prediction."""
+
+    def __init__(self) -> None:
+        self.accs: list[float] = []
+        self.solved: list[float] = []
+
+    def update_state(self, model_output, batch):
+        from diffusionsat_tpu.losses.anf import anf_value_real
+
+        logits = np.asarray(model_output["prediction"])
+        logits2 = logits[:, None] if logits.ndim == 1 else logits
+        sols = np.asarray(batch.solutions)
+        var_mask = np.asarray(batch.var_mask)
+        pred_bits = (1.0 / (1.0 + np.exp(-logits2[:, 0])) > 0.5).astype(int)
+        n = max(var_mask.sum(), 1.0)
+        self.accs.append(float(((pred_bits == sols) * var_mask).sum() / n))
+
+        # clause values under the rounded prediction: bit b -> logits ±10
+        hard = np.where(pred_bits == 1, -10.0, 10.0).astype(np.float32)
+        cv, _, _ = anf_value_real(jnp.asarray(hard[:, None]), batch)
+        cv = np.asarray(cv)[:, 0]
+        clause_ok = (cv > 0.5).astype(np.float32)
+        clause_graph = np.asarray(batch.clause_graph)
+        g_mask = np.asarray(batch.graph_mask) > 0
+        for g in np.where(g_mask)[0]:
+            idx = clause_graph == g
+            if idx.any():
+                self.solved.append(float(clause_ok[idx].all()))
+
+    def get_values(self, reset_state=True):
+        out = {
+            "accuracy": float(np.mean(self.accs)) if self.accs else 0.0,
+            "total_accuracy": float(np.mean(self.solved))
+            if self.solved else 0.0,
+        }
+        if reset_state:
+            self.reset_state()
+        return out
+
+    def reset_state(self):
+        self.accs, self.solved = [], []
+
+
 class StepStatistics(Metric):
     """Mean/median rounds taken (reference metrics/sat_metrics.py:104-141)."""
 
