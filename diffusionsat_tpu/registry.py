@@ -95,6 +95,8 @@ DATASET_REGISTRY.register("sha1", _dataset_entry(
     "diffusionsat_tpu.data.sha", "Sha1Instances"))
 DATASET_REGISTRY.register("anf", _dataset_entry(
     "diffusionsat_tpu.data.anf", "RandomAnfInstances"))
+DATASET_REGISTRY.register("sha1-anf", _dataset_entry(
+    "diffusionsat_tpu.data.sha_anf", "Sha1AnfInstances"))
 
 
 SOLVER_REGISTRY = Registry("sat_solver")
