@@ -54,6 +54,36 @@ def _load_batches(path: Path) -> list[SatBatch]:
     return out
 
 
+def _run_shard(args):
+    shard, mode = args
+    gen = (shard.train_generator() if mode == "train"
+           else shard.test_generator())
+    return list(gen)
+
+
+def _generate_instances(instances: SatInstances, mode: str,
+                        workers: int | None = None) -> list[Instance]:
+    """Generate the instance list, process-parallel when the generator
+    supports seed-splitting (the native-solver-driven generators are
+    CPU-bound and embarrassingly parallel — the TPU-native analog of the
+    reference's tf.data worker threads)."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    if workers is None:
+        workers = min(os.cpu_count() or 1, 16)
+    shards = instances.split(workers) if workers > 1 else None
+    if not shards or len(shards) <= 1:
+        gen = (instances.train_generator() if mode == "train"
+               else instances.test_generator())
+        return list(gen)
+    out: list[Instance] = []
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        for part in pool.map(_run_shard, [(s, mode) for s in shards]):
+            out.extend(part)
+    return out
+
+
 class PackedBatches:
     """A list of cached SatBatches with train-style iteration."""
 
@@ -88,13 +118,14 @@ class SatDataset:
     def __init__(self, instances: SatInstances, bucket: BucketSpec,
                  cache_dir: str | Path = "data_cache",
                  name: str | None = None, force_data_gen: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, gen_workers: int | None = None):
         self.instances = instances
         self.bucket = bucket
         self.cache_dir = Path(cache_dir)
         self.name = name or type(instances).__name__
         self.force_data_gen = force_data_gen
         self.seed = seed
+        self.gen_workers = gen_workers
 
     def _cache_path(self, mode: str) -> Path:
         key = json.dumps({
@@ -110,9 +141,8 @@ class SatDataset:
         path = self._cache_path(mode)
         if path.exists() and not self.force_data_gen:
             return PackedBatches(_load_batches(path), seed=self.seed)
-        gen = (self.instances.train_generator() if mode == "train"
-               else self.instances.test_generator())
-        instances = list(gen)
+        instances = _generate_instances(self.instances, mode,
+                                        workers=self.gen_workers)
         packed = pack_instances(instances, self.bucket, seed=self.seed)
         batches = []
         for group in packed:

@@ -41,6 +41,11 @@ class SatInstances(ABC):
     def test_generator(self) -> Iterator[Instance]:
         ...
 
+    def split(self, n_shards: int) -> list["SatInstances"] | None:
+        """Return n_shards disjoint-seed copies covering the same totals,
+        enabling process-parallel generation. None = not splittable."""
+        return None
+
 
 def _dedup_and_subsume(clauses: list[list[int]]) -> list[list[int]]:
     f = cnf_mod.CNF(clauses=clauses)
@@ -69,6 +74,20 @@ class KSatInstances(SatInstances):
 
     def test_generator(self):
         return self._generator(self.test_size, self.seed + 1_000_003)
+
+    def split(self, n_shards: int):
+        shards = []
+        for i in range(n_shards):
+            size = self.train_size // n_shards + \
+                (1 if i < self.train_size % n_shards else 0)
+            tsize = self.test_size // n_shards + \
+                (1 if i < self.test_size % n_shards else 0)
+            shards.append(KSatInstances(
+                self.min_vars, self.max_vars, train_size=size,
+                test_size=tsize,
+                desired_multiplier_for_the_number_of_solutions=self.multiplier,
+                seed=self.seed + 7919 * (i + 1)))
+        return shards
 
     def _generate_k_clause(self, rng: random.Random, nprng, n: int, k: int
                            ) -> list[int]:
@@ -123,6 +142,18 @@ class SAT3Instances(SatInstances):
 
     def test_generator(self):
         return self._generator(self.test_size, self.seed + 1_000_003)
+
+    def split(self, n_shards: int):
+        shards = []
+        for i in range(n_shards):
+            size = self.train_size // n_shards + \
+                (1 if i < self.train_size % n_shards else 0)
+            tsize = self.test_size // n_shards + \
+                (1 if i < self.test_size % n_shards else 0)
+            shards.append(SAT3Instances(
+                self.min_vars, self.max_vars, train_size=size,
+                test_size=tsize, seed=self.seed + 7919 * (i + 1)))
+        return shards
 
     def _generator(self, size: int, seed: int):
         rng = random.Random(seed)
@@ -190,6 +221,17 @@ class DiffusionSatInstances(SatInstances):
                 if solution is None:
                     raise ValueError("UNSAT instance in diffusion data")
             yield n_vars, clauses, solution
+
+    def split(self, n_shards: int):
+        base_shards = self.base.split(n_shards)
+        if base_shards is None:
+            return None
+        return [DiffusionSatInstances(
+            b, use_unigen=self.use_unigen, test_cnf=self.test_cnf,
+            test_solutions_multiplier_k=self.k,
+            max_enumerate=self.max_enumerate,
+            seed=self.seed + 104729 * (i + 1))
+            for i, b in enumerate(base_shards)]
 
     def train_generator(self):
         return self._wrap(self.base.train_generator())
