@@ -45,7 +45,8 @@ def softplus_loss(logits: jnp.ndarray, batch: SatBatch, power: float = 1.0
     return clauses_val * batch.clause_mask[:, None]
 
 
-def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch
+def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch,
+                           axis_name: str | None = None
                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(softplus_loss per clause, gradient of its sum wrt logits) in closed
     form.
@@ -66,7 +67,7 @@ def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch
     clauses_val = clauses_val * batch.clause_mask[:, None]
 
     sig = jax.nn.sigmoid(literals)                       # d softplus
-    back = clause_to_lit(batch, clauses_val)             # [2V, K]
+    back = clause_to_lit(batch, clauses_val, axis_name)  # [2V, K]
     per_lit = -back * sig
     V = batch.V
     grad = per_lit[:V] - per_lit[V:]                     # +/- literal signs
@@ -209,18 +210,23 @@ def clause_sat_indicator(logits: jnp.ndarray, batch: SatBatch) -> jnp.ndarray:
     return jnp.clip(clauses_sat, 0.0, 1.0)
 
 
-def is_batch_sat(logits: jnp.ndarray, batch: SatBatch) -> jnp.ndarray:
+def is_batch_sat(logits: jnp.ndarray, batch: SatBatch,
+                 axis_name: str | None = None) -> jnp.ndarray:
     """1.0 iff every (real) clause is satisfied by the rounded assignment
     (reference utils/sat.py:118-124). Padded clauses count as satisfied."""
     sat = clause_sat_indicator(logits, batch)
     sat = jnp.where(batch.clause_mask[:, None] > 0, sat, 1.0)
-    return jnp.min(sat)
+    out = jnp.min(sat)
+    if axis_name is not None:
+        out = jax.lax.pmin(out, axis_name)
+    return out
 
 
-def is_graph_sat(logits: jnp.ndarray, batch: SatBatch) -> jnp.ndarray:
+def is_graph_sat(logits: jnp.ndarray, batch: SatBatch,
+                 axis_name: str | None = None) -> jnp.ndarray:
     """[G, K] per-graph SAT indicator (reference utils/sat.py:165-180)."""
     sat = clause_sat_indicator(logits, batch)  # [C, K]
-    sat_in_g = clause_segment_sum(batch, sat)  # [G, K]
+    sat_in_g = clause_segment_sum(batch, sat, axis_name)  # [G, K]
     total_in_g = batch.n_clauses_per_graph[:, None]
     return jnp.clip(sat_in_g + 1 - total_in_g, 0.0, 1.0) * \
         batch.graph_mask[:, None]

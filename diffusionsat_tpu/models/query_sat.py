@@ -144,8 +144,13 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                     noise_scale: jnp.ndarray | None = None,
                     noisy_num: jnp.ndarray | None = None,
                     denoised_num: jnp.ndarray | None = None,
-                    rounds: int | None = None):
+                    rounds: int | None = None,
+                    axis_name: str | None = None):
     """Run the recurrent loop. Returns (out_logits [V,1], loss, steps, aux).
+
+    With `axis_name` the batch is a clause shard under shard_map
+    (parallel/graph_partition.py): clause-side compute is local, literal
+    aggregates and per-graph clause reductions psum over the axis.
 
     Mirrors reference `call:133` + `loop:186`. `labels` are per-variable 0/1
     bits (flattened solutions); if None, random bits are drawn (predict
@@ -167,7 +172,7 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         k_input, cfg, batch, labels, noise_scale, noisy_num, denoised_num)
 
     # degree weights (reference model/query_sat.py:193-197)
-    lit_degree = literal_degrees(batch)                       # [2V, 1]
+    lit_degree = literal_degrees(batch, axis_name)            # [2V, 1]
     degree_weight = jax.lax.rsqrt(jnp.maximum(lit_degree, 1.0))
     var_degree_weight = 4.0 * jax.lax.rsqrt(
         jnp.maximum(lit_degree[:V] + lit_degree[V:], 1.0))    # [V, 1]
@@ -197,7 +202,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         query = mlp_apply(params["variables_query"],
                           mcfgs["variables_query"][0], v1,
                           compute_dtype=cfg.compute_dtype)
-        clauses_loss, grads = softplus_loss_and_grad(query, batch)
+        clauses_loss, grads = softplus_loss_and_grad(query, batch,
+                                                     axis_name)
         variables_grad = grads * var_degree_weight
         clauses_loss = clauses_loss * 4.0
 
@@ -218,11 +224,13 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
 
         variables_loss_all = clause_data[:, :cfg.query_maps]
         new_clause_value = clause_data[:, cfg.query_maps:]
-        new_clause_value = pair_norm_clauses(new_clause_value, batch) * 0.25
+        new_clause_value = pair_norm_clauses(new_clause_value, batch,
+                                             axis_name=axis_name) * 0.25
         new_clause_state = new_clause_value + 0.1 * clause_state
 
         # --- variable update (reference :269-280)
-        variables_loss = clause_to_lit(batch, variables_loss_all) * degree_weight
+        variables_loss = clause_to_lit(batch, variables_loss_all,
+                                       axis_name) * degree_weight
         variables_loss_pos = variables_loss[:V]
         variables_loss_neg = variables_loss[V:]
         unit = jnp.concatenate(
@@ -254,7 +262,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                 per_graph_loss = per_graph_loss * batch.graph_mask[:, None]
             else:
                 per_clause_loss = softplus_mixed_loss(logits, batch)
-                per_graph_loss = clause_segment_sum(batch, per_clause_loss)
+                per_graph_loss = clause_segment_sum(batch, per_clause_loss,
+                                                    axis_name)
                 per_graph_loss = jnp.sqrt(per_graph_loss + 1e-6) - \
                     jnp.sqrt(1e-6)
 
@@ -267,7 +276,7 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
 
         out_logits = jnp.take_along_axis(logits, new_best_vars[:, None],
                                          axis=1)
-        sat = is_batch_sat(out_logits, batch) >= 1.0
+        sat = is_batch_sat(out_logits, batch, axis_name) >= 1.0
 
         # early-exit semantics via masking (reference :330-338): the loss of
         # the breaking round IS accumulated (step_losses.write at :323

@@ -49,10 +49,13 @@ def pair_norm_vars(x: jnp.ndarray, batch: SatBatch, epsilon: float = 1e-6
     return _pair_norm(x, mean, epsilon)
 
 
-def pair_norm_clauses(x: jnp.ndarray, batch: SatBatch, epsilon: float = 1e-6
-                      ) -> jnp.ndarray:
-    """PairNorm over clause nodes (reference layers/normalization.py:43-71)."""
-    sums = clause_segment_sum(batch, x * batch.clause_mask[:, None])
+def pair_norm_clauses(x: jnp.ndarray, batch: SatBatch, epsilon: float = 1e-6,
+                      axis_name: str | None = None) -> jnp.ndarray:
+    """PairNorm over clause nodes (reference layers/normalization.py:43-71).
+    Under clause-sharded execution the per-graph mean needs the global
+    counts (batch.n_clauses_per_graph must carry global totals)."""
+    sums = clause_segment_sum(batch, x * batch.clause_mask[:, None],
+                              axis_name)
     counts = jnp.maximum(batch.n_clauses_per_graph, 1.0)[:, None]
     mean = graph_gather_clauses(batch, sums / counts)
     return _pair_norm(x, mean, epsilon)

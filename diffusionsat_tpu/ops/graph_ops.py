@@ -31,25 +31,35 @@ def lit_to_clause(batch: SatBatch, lit_features: jnp.ndarray) -> jnp.ndarray:
                                indices_are_sorted=True)
 
 
-def clause_to_lit(batch: SatBatch, clause_features: jnp.ndarray) -> jnp.ndarray:
+def clause_to_lit(batch: SatBatch, clause_features: jnp.ndarray,
+                  axis_name: str | None = None) -> jnp.ndarray:
     """Aggregate clause features into literals: out[lit] = sum_{c ∋ lit} x[c].
 
     `clause_features`: [C, F]. Returns [2V, F]. Equivalent to the reference
     `tf.sparse.sparse_dense_matmul(adj_matrix, ...)` (model/query_sat.py:269).
+    With `axis_name` (clause-sharded execution under shard_map) each shard
+    contributes a partial literal aggregate, combined with one psum — the
+    single per-direction collective of the graph-partition design.
     """
     gathered = jnp.take(clause_features, batch.edge_clause_l, axis=0)
     gathered = gathered * batch.edge_mask_l[:, None]
-    return jax.ops.segment_sum(gathered, batch.edge_lit_l,
-                               num_segments=2 * batch.V,
-                               indices_are_sorted=True)
+    out = jax.ops.segment_sum(gathered, batch.edge_lit_l,
+                              num_segments=2 * batch.V,
+                              indices_are_sorted=axis_name is None)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
-def literal_degrees(batch: SatBatch) -> jnp.ndarray:
+def literal_degrees(batch: SatBatch, axis_name: str | None = None
+                    ) -> jnp.ndarray:
     """[2V, 1] count of clauses each literal appears in
     (reference model/query_sat.py:193)."""
     deg = jax.ops.segment_sum(batch.edge_mask_l, batch.edge_lit_l,
                               num_segments=2 * batch.V,
-                              indices_are_sorted=True)
+                              indices_are_sorted=axis_name is None)
+    if axis_name is not None:
+        deg = jax.lax.psum(deg, axis_name)
     return deg[:, None]
 
 
@@ -71,13 +81,15 @@ def var_segment_sum(batch: SatBatch, var_features: jnp.ndarray) -> jnp.ndarray:
     return out[:batch.G]
 
 
-def clause_segment_sum(batch: SatBatch, clause_features: jnp.ndarray
-                       ) -> jnp.ndarray:
+def clause_segment_sum(batch: SatBatch, clause_features: jnp.ndarray,
+                       axis_name: str | None = None) -> jnp.ndarray:
     """Per-graph sum over clauses: [C, F] -> [G, F]
     (reference model/query_sat.py:302)."""
     out = jax.ops.segment_sum(clause_features, batch.clause_graph,
                               num_segments=batch.G + 1,
                               indices_are_sorted=True)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
     return out[:batch.G]
 
 

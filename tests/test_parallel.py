@@ -83,3 +83,34 @@ def test_sharded_spmm_matches_single_device():
                            placed.edge_clause_c, placed.edge_mask_c))
     want_l = np.asarray(clause_to_lit(batch, jnp.asarray(clause_feats)))
     np.testing.assert_allclose(got_l, want_l, rtol=1e-5, atol=1e-5)
+
+
+def test_gspmd_graph_sharded_step_matches_single_device():
+    from diffusionsat_tpu.parallel.graph_partition import (
+        make_gp_train_step,
+        shard_gp_batch,
+    )
+
+    cfg = QuerySATConfig(feature_maps=8, query_maps=8, train_rounds=2,
+                         test_rounds=2)
+    opt = adabelief(learning_rate=1e-3)
+    params = query_sat_init(jax.random.key(0), cfg)
+    batch = random_batch(5)
+
+    def fresh_state():
+        return TrainState(params=params, opt_state=opt.init(params),
+                          step=jnp.zeros((), jnp.int32),
+                          key=jax.random.key(7))
+
+    from diffusionsat_tpu.train.loop import make_train_step
+    s1, o1 = make_train_step(cfg, opt)(fresh_state(), batch)
+
+    mesh = make_mesh(n_data=1, n_graph=8, devices=jax.devices()[:8])
+    s2, o2 = make_gp_train_step(cfg, opt, mesh)(
+        fresh_state(), shard_gp_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(o1["loss"]), float(o2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
