@@ -128,9 +128,12 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
     for i in range(steps):
         batch = next(data_iter)
         state, out = train_step(state, batch)
-        window_losses.append(float(out["loss"]))
-        step = int(state.step)
+        # keep the loss as a device future: fetching per step costs a full
+        # host round-trip on remote accelerators; sync only when logging
+        window_losses.append(out["loss"])
         if (i + 1) % log_every == 0:
+            window_losses = [float(l) for l in window_losses]
+            step = int(state.step)
             dt = time.time() - t0
             t0 = time.time()
             msg = {
@@ -145,10 +148,11 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
             window_losses = []
         if eval_fn is not None and (i + 1) % eval_every == 0:
             vals = eval_fn(state)
-            print(f"[eval @ {step}] {vals}")
+            eval_step = int(state.step)
+            print(f"[eval @ {eval_step}] {vals}")
             if log_file is not None:
                 with Path(log_file).open("a") as f:
-                    f.write(json.dumps({"step": step, **vals}) + "\n")
+                    f.write(json.dumps({"step": eval_step, **vals}) + "\n")
         if checkpoint_fn is not None and (i + 1) % ckpt_every == 0:
             checkpoint_fn(state)
     return state
