@@ -80,14 +80,75 @@ def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
     return make_train_step_for(query_sat_apply, cfg, optimizer)
 
 
-def make_predict_step(cfg, apply_fn: Callable = query_sat_apply):
-    """Jitted predict step (reference model/query_sat.py:424-451)."""
+def make_selfsupervised_train_step(cfg: QuerySATConfig,
+                                   optimizer: optax.GradientTransformation):
+    """Self-conditioning diffusion train step (reference
+    model/query_sat.py:398-417 `train_step_selfsupervised`): one pass
+    without self-conditioning, a second pass fed the stop-gradient sigmoid
+    of the first pass's logits; loss = loss1 + 2*loss2."""
+    from diffusionsat_tpu.diffusion.schedule import construct_training_input
+
+    @jax.jit
+    def train_step(state: TrainState, batch: SatBatch):
+        key, k_noise, k_input, k1, k2 = jax.random.split(state.key, 5)
+        noise_scale = jax.random.uniform(k_noise, ())
+        labels = batch.solutions
+        noisy = construct_training_input(k_input, labels, noise_scale)
+
+        def loss_fn(params):
+            logits, loss1, steps, _ = query_sat_apply(
+                params, cfg, batch, k1, training=True, labels=labels,
+                noise_scale=noise_scale, noisy_num=noisy)
+            denoised = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
+            _, loss2, _, _ = query_sat_apply(
+                params, cfg, batch, k2, training=True, labels=labels,
+                noise_scale=noise_scale, noisy_num=noisy,
+                denoised_num=denoised)
+            return loss1 + 2.0 * loss2, (loss1, loss2, steps)
+
+        (loss, (loss1, loss2, steps)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, key=key)
+        return new_state, {"loss": loss, "loss1": loss1, "loss2": loss2,
+                           "steps_taken": steps}
+
+    return train_step
+
+
+def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
+                      prediction_tries: int = 1):
+    """Jitted predict step (reference model/query_sat.py:424-451). With
+    prediction_tries > 1 the model is re-run with fresh randomness and
+    per-graph solutions accumulate across tries (`:426-445`)."""
+    from diffusionsat_tpu.losses.sat import is_graph_sat
+    from diffusionsat_tpu.ops.graph_ops import graph_gather_vars
 
     @jax.jit
     def predict_step(params, batch: SatBatch, key: jax.Array):
-        logits, loss, steps, aux = apply_fn(
-            params, cfg, batch, key, training=False)
-        return {"prediction": logits[:, 0], "loss": loss,
+        if prediction_tries == 1:
+            logits, loss, steps, aux = apply_fn(
+                params, cfg, batch, key, training=False)
+            return {"prediction": logits[:, 0], "loss": loss,
+                    "steps_taken": steps}
+
+        final = jnp.zeros((batch.V, 1))
+        solved = jnp.zeros((batch.G, 1))
+        loss = jnp.zeros(())
+        steps = jnp.zeros((), jnp.int32)
+        for i in range(prediction_tries):
+            key, sub = jax.random.split(key)
+            logits, loss, steps, _ = apply_fn(params, cfg, batch, sub,
+                                              training=False)
+            sat_g = is_graph_sat(logits, batch)           # [G, 1]
+            newly = jnp.clip(sat_g - solved, 0.0, 1.0)
+            var_mask = graph_gather_vars(batch, newly)
+            final = final + logits * var_mask
+            solved = solved + newly
+        return {"prediction": final[:, 0], "loss": loss,
                 "steps_taken": steps}
 
     return predict_step
