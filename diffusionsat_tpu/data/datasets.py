@@ -67,6 +67,7 @@ def _generate_instances(instances: SatInstances, mode: str,
     supports seed-splitting (the native-solver-driven generators are
     CPU-bound and embarrassingly parallel — the TPU-native analog of the
     reference's tf.data worker threads)."""
+    import multiprocessing
     import os
     from concurrent.futures import ProcessPoolExecutor
 
@@ -78,7 +79,9 @@ def _generate_instances(instances: SatInstances, mode: str,
                else instances.test_generator())
         return list(gen)
     out: list[Instance] = []
-    with ProcessPoolExecutor(max_workers=workers) as pool:
+    # spawn, not fork: the parent may already hold JAX threads
+    ctx = multiprocessing.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
         for part in pool.map(_run_shard, [(s, mode) for s in shards]):
             out.extend(part)
     return out
