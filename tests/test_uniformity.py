@@ -1,0 +1,57 @@
+"""Uniformity benchmark layer tests: samplers, chi-square, store."""
+
+import numpy as np
+
+from diffusionsat_tpu.sat.all_solutions import AllSolutions
+from diffusionsat_tpu.sat.cnf import CNF
+from diffusionsat_tpu.uniformity.benchmarks_file import BenchmarksFile
+from diffusionsat_tpu.uniformity.samplers import (
+    ExactUniformSampler,
+    WalkSatSampler,
+)
+from diffusionsat_tpu.utils.chi_square import chi_square_likelihood
+
+
+def formula():
+    # [[1,2,3],[-1,-2,-3],[4,5]]: the reference's test_AllSolutions formula
+    return CNF(n_vars=5, clauses=[[1, 2, 3], [-1, -2, -3], [4, 5]])
+
+
+def test_all_solutions_count():
+    cnf = formula()
+    als = AllSolutions(cnf.number_of_vars(), cnf.clauses())
+    assert als.is_exact
+    # 6 assignments of (1,2,3) (not all-equal) x 3 of (4,5) = 18
+    assert als.count() == 18
+
+
+def test_exact_uniform_sampler_is_uniform():
+    cnf = formula()
+    counts = ExactUniformSampler(cnf, seed=0).samples(1800)
+    assert sum(counts.values()) == 1800
+    assert len(counts) == 18
+    # chi-square against the ideal uniform expectation should not reject
+    ideal = {k: 100.0 for k in counts}
+    p = chi_square_likelihood(counts, ideal)
+    assert p > 0.01
+
+
+def test_walksat_sampler_yields_valid_solutions():
+    cnf = formula()
+    counts = WalkSatSampler(cnf, seed=1).samples(50)
+    assert sum(counts.values()) == 50
+    from diffusionsat_tpu.sat.cnf import VariableAssignment
+    for k in counts:
+        a = VariableAssignment(5, cnf.clauses())
+        a.assign_all_from_int(k)
+        assert a.satisfiable()
+
+
+def test_benchmarks_file_roundtrip(tmp_path):
+    store = BenchmarksFile(tmp_path / "b.jsonl")
+    clauses = [[1, 2], [-1, 2]]
+    store.write(clauses, {"foo": 1})
+    store.write([[3]], {"foo": 2})
+    assert len(store.read_all()) == 2
+    found = store.find(clauses)
+    assert len(found) == 1 and found[0]["foo"] == 1
