@@ -145,7 +145,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                     noisy_num: jnp.ndarray | None = None,
                     denoised_num: jnp.ndarray | None = None,
                     rounds: int | None = None,
-                    axis_name: str | None = None):
+                    axis_name: str | None = None,
+                    early_exit: bool = False):
     """Run the recurrent loop. Returns (out_logits [V,1], loss, steps, aux).
 
     With `axis_name` the batch is a clause shard under shard_map
@@ -187,11 +188,11 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
     smoothed_labels = jnp.tile(labels.astype(cfg.dtype)[:, None],
                                (1, cfg.logit_maps))
 
-    def round_body(carry, key_t):
+    def round_body(carry, step_idx):
         (variables, clause_state, last_logits, best_map_vars, loss_sum,
          loss_count, steps, done) = carry
 
-        k_v1 = key_t
+        k_v1 = jax.random.fold_in(key_loop, step_idx)
 
         # --- query + gradient of clause loss wrt query (reference :227-245)
         # computed in closed form (losses.softplus_loss_and_grad) — same
@@ -322,9 +323,30 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         jnp.zeros((), jnp.bool_),                     # done flag
     )
 
-    body = jax.checkpoint(round_body) if training else round_body
-    keys = jax.random.split(key_loop, rounds)
-    carry, _ = jax.lax.scan(body, init_carry, keys)
+    if training or not early_exit:
+        def scan_body(carry, step_idx):
+            return round_body(carry, step_idx)
+        body = jax.checkpoint(scan_body) if training else scan_body
+        carry, _ = jax.lax.scan(body, init_carry,
+                                jnp.arange(rounds, dtype=jnp.int32))
+    else:
+        # inference fast path: a bounded while_loop that stops as soon as
+        # the whole batch is satisfied (the reference's break, :330-338) —
+        # identical outputs to the masked scan, but skips the tail rounds
+        def while_cond(state):
+            step_idx, carry = state
+            done = carry[-1]
+            return jnp.logical_and(step_idx < rounds,
+                                   jnp.logical_not(done))
+
+        def while_body(state):
+            step_idx, carry = state
+            carry, _ = round_body(carry, step_idx)
+            return step_idx + 1, carry
+
+        _, carry = jax.lax.while_loop(
+            while_cond, while_body,
+            (jnp.zeros((), jnp.int32), init_carry))
     (variables, clause_state, last_logits, best_map_vars, loss_sum,
      loss_count, steps, done) = carry
 
