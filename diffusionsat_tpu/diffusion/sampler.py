@@ -57,10 +57,12 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
                 x = x_noisy
 
             denoised = prev_pred[:, None] if self_supervised else None
+            # early_exit: the batch is many copies of one formula, so the
+            # whole batch often satisfies at once and the tail rounds skip
             logits, _, _, _ = query_sat_apply(
                 params, cfg, batch, k_model, training=False,
                 noise_scale=noise_scale, noisy_num=x_noisy,
-                denoised_num=denoised, rounds=test_rounds)
+                denoised_num=denoised, rounds=test_rounds, early_exit=True)
             predictions = jax.nn.sigmoid(logits[:, 0])  # [V]
 
             x = reverse_distribution_step_theoretic(
