@@ -147,6 +147,34 @@ class DiffusionSampler:
         sols = [[0] * self.n_vars] * self.graphs_per_batch
         self.batch = build_batch(formulas, self.bucket, solutions=sols)
 
+    @classmethod
+    def from_checkpoint(cls, model_path: str, dimacs_filename: str,
+                        cfg: QuerySATConfig | None = None, **kwargs
+                        ) -> "DiffusionSampler":
+        """Reference-style constructor (satuniformity/DiffusionSampler.py:197:
+        `DiffusionSampler(model_path, dimacs)`): restore the newest
+        checkpoint in `model_path` and sample the given DIMACS formula."""
+        import jax.numpy as jnp
+
+        from diffusionsat_tpu.models.query_sat import query_sat_init
+        from diffusionsat_tpu.train.adabelief import adabelief
+        from diffusionsat_tpu.train.checkpoint import CheckpointManager
+        from diffusionsat_tpu.train.loop import TrainState
+
+        cfg = cfg or QuerySATConfig(test_rounds=32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = query_sat_init(jax.random.key(0), cfg)
+            opt = adabelief()
+            template = TrainState(params=params, opt_state=opt.init(params),
+                                  step=jnp.zeros((), jnp.int32),
+                                  key=jax.random.key(0))
+        restored = CheckpointManager(model_path).restore(template)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {model_path}")
+        cnf = CNF.load(dimacs_filename)
+        return cls(jax.device_put(restored.params, jax.devices()[0]),
+                   cfg, cnf, **kwargs)
+
     def samples(self, n_samples: int, max_batches: int = 10_000
                 ) -> dict[int, int]:
         counts: dict[int, int] = {}
