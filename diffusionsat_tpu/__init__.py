@@ -12,12 +12,16 @@ __version__ = "0.1.0"
 
 # Persistent XLA compilation cache: compiles of the recurrent models are
 # expensive (minutes on remote accelerators); cache them across processes.
+# Skipped for forced-CPU runs (tests): CPU executables cached from a
+# different machine's compile can carry unsupported ISA features.
 import os as _os
 
 import jax as _jax
 
 _cache_dir = _os.environ.get("DSAT_COMPILATION_CACHE",
                              _os.path.expanduser("~/.cache/jax_dsat"))
-if _cache_dir and _cache_dir != "0":
+_forced_cpu = "cpu" in (_os.environ.get("JAX_PLATFORM_NAME", "") +
+                        _os.environ.get("JAX_PLATFORMS", ""))
+if _cache_dir and _cache_dir != "0" and not _forced_cpu:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
