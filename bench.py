@@ -52,11 +52,15 @@ def build_workload(rng, bucket, target_vars):
 
 
 def main():
+    import os
+
     from diffusionsat_tpu.graph.batch import BucketSpec
     from diffusionsat_tpu.models.query_sat import (
         QuerySATConfig, query_sat_init)
     from diffusionsat_tpu.train.adabelief import adabelief
     from diffusionsat_tpu.train.loop import TrainState, make_train_step
+
+    profile_dir = os.environ.get("DSAT_PROFILE_DIR")
 
     rng = np.random.default_rng(0)
     # reference workload: max_nodes_per_batch=20k (config.py:35)
@@ -78,6 +82,12 @@ def main():
 
     # steady-state pipelined throughput: steps chain through the state
     # dependency; one host sync at the end covers the whole chain
+    if profile_dir:  # optional jax.profiler trace (DSAT_PROFILE_DIR=...)
+        try:
+            jax.profiler.start_trace(profile_dir)
+        except Exception as e:
+            print(f"profiler unavailable: {e}")
+            profile_dir = None
     iters = 15
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -86,6 +96,11 @@ def main():
     import jax as _jax
     float(jnp.sum(_jax.tree.leaves(state.params)[0]))
     dt = (time.perf_counter() - t0) / iters
+    if profile_dir:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
 
     rounds = cfg.train_rounds
     # each round moves every edge 2x (lit->clause, clause->lit) in fwd,
