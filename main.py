@@ -43,7 +43,8 @@ from diffusionsat_tpu.train.loop import (
 from diffusionsat_tpu.train.metrics import SATAccuracy, StepStatistics
 
 EVAL_FLAGS = ["evaluate", "evaluate_round_gen", "evaluate_variable_gen",
-              "test_invariance", "test_classic_solver", "make_cactus"]
+              "evaluate_batch_gen", "test_invariance", "test_classic_solver",
+              "make_cactus"]
 
 
 def split_eval_flags(argv):
@@ -155,6 +156,24 @@ def main(argv=None):
         evaluate_variable_generalization(
             state.params, model_cfg, make_ds,
             run_dir / "gen_variables_size_result.txt")
+
+    if flags["evaluate_batch_gen"]:
+        from diffusionsat_tpu.evaluation.harness import (
+            evaluate_batch_generalization)
+
+        def make_ds_budget(budget):
+            inst = DiffusionSatInstances(
+                SAT3Instances(min_vars=cfg.min_vars, max_vars=cfg.max_vars,
+                              train_size=1, test_size=50, seed=cfg.seed),
+                use_unigen=False, seed=cfg.seed)
+            b = BucketSpec.for_node_budget(budget)
+            ds = SatDataset(inst, b, cache_dir=cfg.data_dir,
+                            name=f"batchgen_{budget}", seed=cfg.seed)
+            return ds.test_data()
+        evaluate_batch_generalization(
+            state.params, model_cfg, make_ds_budget,
+            run_dir / "gen_batch_size_results.txt",
+            sizes=range(3000, 24000, 3000))
 
     if flags["evaluate_round_gen"]:
         def cfg_for_rounds(r):
