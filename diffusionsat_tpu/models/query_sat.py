@@ -77,6 +77,11 @@ class QuerySATConfig:
     # matmul operand dtype (None = float32; jnp.bfloat16 for MXU mixed
     # precision with f32 accumulation)
     compute_dtype: Any = None
+    # rematerialization policy for the training scan body: "full" = save
+    # nothing (recompute the round in backward), "dots" = save matmul
+    # outputs (cheaper backward, ~25 MB/round more HBM), "none" = save
+    # everything (no recompute)
+    remat: str = "full"
 
     @property
     def label_channels(self) -> int:
@@ -326,7 +331,13 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
     if training or not early_exit:
         def scan_body(carry, step_idx):
             return round_body(carry, step_idx)
-        body = jax.checkpoint(scan_body) if training else scan_body
+        if training and cfg.remat == "full":
+            body = jax.checkpoint(scan_body)
+        elif training and cfg.remat == "dots":
+            body = jax.checkpoint(
+                scan_body, policy=jax.checkpoint_policies.dots_saveable)
+        else:
+            body = scan_body
         carry, _ = jax.lax.scan(body, init_carry,
                                 jnp.arange(rounds, dtype=jnp.int32))
     else:
