@@ -295,18 +295,67 @@ struct Solver {
     return std::pow(y, seq);
   }
 
+  // Drop the least-active half of unlocked learnt clauses and rebuild
+  // watches (keeps memory bounded on hard instances).
+  void reduce_db() {
+    std::vector<double> acts;
+    for (int i = n_original; i < (int)clauses.size(); i++)
+      if (clauses[i].learnt) acts.push_back(clauses[i].activity);
+    if (acts.size() < 2000) return;
+    std::nth_element(acts.begin(), acts.begin() + acts.size() / 2,
+                     acts.end());
+    double cutoff = acts[acts.size() / 2];
+
+    std::vector<bool> locked(clauses.size(), false);
+    for (Lit p : trail) {
+      int r = reason[litvar(p)];
+      if (r >= 0) locked[r] = true;
+    }
+    std::vector<int> remap(clauses.size(), -1);
+    std::vector<Clause> kept;
+    kept.reserve(clauses.size());
+    for (int i = 0; i < (int)clauses.size(); i++) {
+      bool keep = i < n_original || !clauses[i].learnt || locked[i] ||
+                  clauses[i].activity >= cutoff ||
+                  clauses[i].lits.size() <= 2;
+      if (keep) {
+        remap[i] = (int)kept.size();
+        kept.push_back(std::move(clauses[i]));
+      }
+    }
+    clauses.swap(kept);
+    for (Var v = 0; v < n_vars; v++)
+      if (reason[v] >= 0) reason[v] = remap[reason[v]];
+    for (auto& ws : watches) ws.clear();
+    for (int i = 0; i < (int)clauses.size(); i++) {
+      Clause& c = clauses[i];
+      if (c.lits.size() >= 2) {
+        watches[litneg(c.lits[0])].push_back({i, c.lits[1]});
+        watches[litneg(c.lits[1])].push_back({i, c.lits[0]});
+      }
+    }
+  }
+
   // returns L_TRUE (sat), L_FALSE (unsat), L_UNDEF (budget exhausted)
   LBool solve() {
+    if (n_original == 0) n_original = (int)clauses.size();
     if (!ok) return L_FALSE;
     int restart_n = 0;
+    long long next_reduce = 20000;
     for (;;) {
       long long restart_budget = (long long)(luby(2.0, restart_n++) * 64);
       LBool r = search(restart_budget);
       if (r != L_UNDEF) return r;
       if (conflict_budget >= 0 && conflicts >= conflict_budget) return L_UNDEF;
       cancel_until(0);
+      if (conflicts >= next_reduce) {
+        reduce_db();
+        next_reduce = conflicts + 20000;
+      }
     }
   }
+
+  int n_original = 0;
 
   LBool search(long long budget) {
     long long local_conflicts = 0;
