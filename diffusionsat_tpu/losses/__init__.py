@@ -1,5 +1,6 @@
 from diffusionsat_tpu.losses.sat import (
     softplus_loss,
+    softplus_loss_and_grad,
     softplus_log_loss,
     softplus_log_square_loss,
     softplus_square_loss,
@@ -12,4 +13,12 @@ from diffusionsat_tpu.losses.sat import (
     log_max_loss,
     is_batch_sat,
     is_graph_sat,
+)
+from diffusionsat_tpu.losses.anf import (
+    anf_value_real,
+    anf_value_cplx,
+    cplx_and,
+    cplx_normalize,
+    real_and,
+    return_messages_cplx,
 )

@@ -23,3 +23,8 @@ from diffusionsat_tpu.models.attention_sat import (
     attention_sat_init,
     attention_sat_apply,
 )
+from diffusionsat_tpu.models.anf_sat import (
+    ANFSATConfig,
+    anf_sat_init,
+    anf_sat_apply,
+)

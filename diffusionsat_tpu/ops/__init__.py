@@ -8,3 +8,8 @@ from diffusionsat_tpu.ops.graph_ops import (
     graph_gather_vars,
     graph_gather_clauses,
 )
+from diffusionsat_tpu.ops.pallas_segsum import (
+    build_segsum_plan,
+    gather_segsum,
+    segsum_pallas,
+)
