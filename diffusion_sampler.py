@@ -35,25 +35,13 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    cnf = CNF.load(args.dimacs)
     cfg = QuerySATConfig(feature_maps=args.feature_maps,
                          query_maps=args.query_maps,
                          test_rounds=args.test_rounds)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = query_sat_init(jax.random.key(0), cfg)
-        opt = adabelief()
-        template = TrainState(params=params, opt_state=opt.init(params),
-                              step=jnp.zeros((), jnp.int32),
-                              key=jax.random.key(0))
-    restored = CheckpointManager(args.model_ckpt).restore(template)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {args.model_ckpt}")
-
-    sampler = DiffusionSampler(jax.device_put(restored.params,
-                                              jax.devices()[0]),
-                               cfg, cnf,
-                               diffusion_steps=args.diffusion_steps,
-                               test_rounds=args.test_rounds)
+    sampler = DiffusionSampler.from_checkpoint(
+        args.model_ckpt, args.dimacs, cfg=cfg,
+        diffusion_steps=args.diffusion_steps,
+        test_rounds=args.test_rounds)
     counts = sampler.samples(args.n_samples)
     print(f"success rate: {sampler.success_rate:.4f}")
     print(f"{len(counts)} distinct solutions over "
