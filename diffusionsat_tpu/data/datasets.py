@@ -54,11 +54,17 @@ def _load_batches(path: Path) -> list[SatBatch]:
     return out
 
 
+def _gen_for_mode(instances, mode: str):
+    if mode == "train":
+        return instances.train_generator()
+    if mode == "validation" and hasattr(instances, "validation_generator"):
+        return instances.validation_generator()
+    return instances.test_generator()
+
+
 def _run_shard(args):
     shard, mode = args
-    gen = (shard.train_generator() if mode == "train"
-           else shard.test_generator())
-    return list(gen)
+    return list(_gen_for_mode(shard, mode))
 
 
 def _generate_instances(instances: SatInstances, mode: str,
@@ -75,9 +81,7 @@ def _generate_instances(instances: SatInstances, mode: str,
         workers = min(os.cpu_count() or 1, 16)
     shards = instances.split(workers) if workers > 1 else None
     if not shards or len(shards) <= 1:
-        gen = (instances.train_generator() if mode == "train"
-               else instances.test_generator())
-        return list(gen)
+        return list(_gen_for_mode(instances, mode))
     out: list[Instance] = []
     # spawn, not fork: the parent may already hold JAX threads
     ctx = multiprocessing.get_context("spawn")
@@ -157,6 +161,13 @@ class SatDataset:
 
     def train_data(self) -> PackedBatches:
         return self._materialize("train")
+
+    def validation_data(self) -> PackedBatches:
+        """Validation split; generators without a dedicated validation
+        stream fall back to the test generator (reference
+        data/dimac.py:85-92)."""
+        gen = getattr(self.instances, "validation_generator", None)
+        return self._materialize("validation" if gen else "test")
 
     def test_data(self) -> PackedBatches:
         return self._materialize("test")

@@ -4,7 +4,7 @@ Analog of reference `hyperopt.py:1-196` (Optuna TPE over lr/beta1 and the
 architecture dims suggested inside the model ctor,
 `model/query_sat.py:101-112`). Optuna is not available in this
 environment, so the search is self-contained: random sampling over the
-same space with successive-halving pruning on the running-mean accuracy.
+same space, each trial scored by held-out solved fraction.
 
     python hyperopt.py --trials 20 --steps_per_trial 2000
 """
