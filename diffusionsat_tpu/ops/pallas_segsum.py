@@ -94,8 +94,9 @@ def build_segsum_plan(seg_ids: np.ndarray, mask: np.ndarray,
                       window=window)
 
 
-def _segsum_kernel(base_ref, values_ref, local_ids_ref, mask_ref, out_ref,
-                   part_ref, sem, *, window: int, F: int):
+def _segsum_kernel(base_ref, values_ref, local_ids_ref, mask_ref, init_ref,
+                   out_ref, part_ref, sem, *, window: int, F: int):
+    del init_ref  # aliased to out_ref: provides the zero initialization
     t = pl.program_id(0)
     te = values_ref.shape[0]
     onehot = (local_ids_ref[0, :].reshape(te, 1) ==
@@ -129,6 +130,7 @@ def segsum_pallas(values: jnp.ndarray, plan: SegsumPlan) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TE), lambda t, base: (t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # zero init (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -136,21 +138,18 @@ def segsum_pallas(values: jnp.ndarray, plan: SegsumPlan) -> jnp.ndarray:
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    init = jnp.zeros((M_pad, F), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_segsum_kernel, window=W, F=F),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M_pad, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # operand indices include the scalar-prefetch arg: init is input 4
+        input_output_aliases={4: 0},
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(plan.base), values, jnp.asarray(plan.local_ids),
-      jnp.asarray(plan.mask))
-    # windows cover [0, last_base + W) contiguously; segments beyond hold
-    # no edges — zero the (possibly uninitialized) tail
-    covered = min(int(plan.base[-1]) + W, plan.num_segments)
-    out = out[:plan.num_segments]
-    if covered < plan.num_segments:
-        out = out.at[covered:].set(0.0)
-    return out
+      jnp.asarray(plan.mask), init)
+    return out[:plan.num_segments]
 
 
 def gather_segsum(src: jnp.ndarray, gather_idx: jnp.ndarray,
@@ -160,3 +159,143 @@ def gather_segsum(src: jnp.ndarray, gather_idx: jnp.ndarray,
     idx = jnp.take(gather_idx, jnp.asarray(plan.order))
     values = jnp.take(src, idx, axis=0)
     return segsum_pallas(values, plan)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable SpMM pair over precomputed plans.
+#
+# l2c and c2l are transposes of the same incidence, so each is the other's
+# VJP: d/dx sum-into-clauses == gather-back-from-clauses summed per literal.
+
+
+class BatchPlans(NamedTuple):
+    """Bucket-static (padded) plan arrays for both SpMM directions.
+
+    *_gather holds the pre-folded source row per plan slot; *_segs the
+    padded tile metadata. Shapes depend only on the bucket, so jitted
+    functions taking BatchPlans compile once per bucket.
+    """
+    c_local_ids: jnp.ndarray  # [Tc, TE]
+    c_mask: jnp.ndarray       # [Tc, TE]
+    c_base: jnp.ndarray       # [Tc]
+    c_gather: jnp.ndarray     # [Tc*TE] literal row per slot
+    l_local_ids: jnp.ndarray  # [Tl, TE]
+    l_mask: jnp.ndarray       # [Tl, TE]
+    l_base: jnp.ndarray       # [Tl]
+    l_gather: jnp.ndarray     # [Tl*TE] clause row per slot
+    tile_edges: int = 256
+    window: int = 128
+    num_clauses: int = 0
+    num_literals: int = 0
+
+
+def _pad_plan(plan: SegsumPlan, gather_idx: np.ndarray, pad_tiles: int):
+    T = plan.local_ids.shape[0]
+    if T > pad_tiles:
+        return None
+    TE = plan.tile_edges
+    local_ids = np.zeros((pad_tiles, TE), np.int32)
+    mask = np.zeros((pad_tiles, TE), np.float32)
+    base = np.full(pad_tiles, plan.num_segments, np.int32)
+    gather = np.zeros(pad_tiles * TE, np.int32)
+    local_ids[:T] = plan.local_ids
+    mask[:T] = plan.mask
+    base[:T] = plan.base
+    gather[:T * TE] = gather_idx[plan.order]
+    return local_ids, mask, base, gather
+
+
+def build_batch_plans(batch, tile_edges: int = 256, window: int = 128,
+                      pad_tiles: int | None = None) -> BatchPlans | None:
+    """Build padded plans for both directions of a SatBatch. Returns None
+    when a segment exceeds the tile/window limits (caller falls back to
+    XLA segment_sum)."""
+    E = batch.E
+    if pad_tiles is None:
+        pad_tiles = -(-int(E * 1.25) // tile_edges) + 2
+    pc = build_segsum_plan(np.asarray(batch.edge_clause_c),
+                           np.asarray(batch.edge_mask_c),
+                           num_segments=batch.C, tile_edges=tile_edges,
+                           window=window)
+    plc = build_segsum_plan(np.asarray(batch.edge_lit_l),
+                            np.asarray(batch.edge_mask_l),
+                            num_segments=2 * batch.V,
+                            tile_edges=tile_edges, window=window)
+    if pc is None or plc is None:
+        return None
+    a = _pad_plan(pc, np.asarray(batch.edge_lit_c), pad_tiles)
+    b = _pad_plan(plc, np.asarray(batch.edge_clause_l), pad_tiles)
+    if a is None or b is None:
+        return None
+    return BatchPlans(
+        c_local_ids=a[0], c_mask=a[1], c_base=a[2], c_gather=a[3],
+        l_local_ids=b[0], l_mask=b[1], l_base=b[2], l_gather=b[3],
+        tile_edges=tile_edges, window=window,
+        num_clauses=batch.C, num_literals=2 * batch.V)
+
+
+def _run_direction(x, local_ids, mask, base, gather, num_segments,
+                   tile_edges, window):
+    values = jnp.take(x, gather, axis=0)
+    plan = SegsumPlan(local_ids=local_ids, mask=mask, base=base,
+                      order=gather, num_segments=num_segments,
+                      tile_edges=tile_edges, window=window)
+    return segsum_pallas(values, plan)
+
+
+def _int_zero_cots(*arrays):
+    import numpy as _np
+
+    out = []
+    for a in arrays:
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.integer):
+            out.append(_np.zeros(jnp.asarray(a).shape, jax.dtypes.float0))
+        else:
+            out.append(jnp.zeros_like(a))
+    return tuple(out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _spmm(x, f_local, f_mask, f_base, f_gather,
+          b_local, b_mask, b_base, b_gather,
+          num_out, num_in, te_w):
+    return _run_direction(x, f_local, f_mask, f_base, f_gather, num_out,
+                          te_w[0], te_w[1])
+
+
+def _spmm_fwd(x, f_local, f_mask, f_base, f_gather,
+              b_local, b_mask, b_base, b_gather, num_out, num_in, te_w):
+    out = _run_direction(x, f_local, f_mask, f_base, f_gather, num_out,
+                         te_w[0], te_w[1])
+    return out, (f_local, f_mask, f_base, f_gather,
+                 b_local, b_mask, b_base, b_gather)
+
+
+def _spmm_bwd(num_out, num_in, te_w, res, g):
+    (f_local, f_mask, f_base, f_gather,
+     b_local, b_mask, b_base, b_gather) = res
+    dx = _run_direction(g, b_local, b_mask, b_base, b_gather, num_in,
+                        te_w[0], te_w[1])
+    return (dx,) + _int_zero_cots(f_local, f_mask, f_base, f_gather,
+                                  b_local, b_mask, b_base, b_gather)
+
+
+_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def plan_lit_to_clause(x: jnp.ndarray, plans: BatchPlans) -> jnp.ndarray:
+    """Pallas-backed lit->clause SpMM with c2l as its VJP."""
+    return _spmm(x, plans.c_local_ids, plans.c_mask, plans.c_base,
+                 plans.c_gather, plans.l_local_ids, plans.l_mask,
+                 plans.l_base, plans.l_gather,
+                 plans.num_clauses, plans.num_literals,
+                 (plans.tile_edges, plans.window))
+
+
+def plan_clause_to_lit(x: jnp.ndarray, plans: BatchPlans) -> jnp.ndarray:
+    """Pallas-backed clause->lit SpMM with l2c as its VJP."""
+    return _spmm(x, plans.l_local_ids, plans.l_mask, plans.l_base,
+                 plans.l_gather, plans.c_local_ids, plans.c_mask,
+                 plans.c_base, plans.c_gather,
+                 plans.num_literals, plans.num_clauses,
+                 (plans.tile_edges, plans.window))
