@@ -46,8 +46,8 @@ def softplus_loss(logits: jnp.ndarray, batch: SatBatch, power: float = 1.0
 
 
 def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch,
-                           axis_name: str | None = None
-                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                           axis_name: str | None = None,
+                           plans=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(softplus_loss per clause, gradient of its sum wrt logits) in closed
     form.
 
@@ -63,11 +63,18 @@ def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch,
     logits = _as_2d(logits)
     literals = literal_concat(logits)
     sp = jax.nn.softplus(literals)
-    clauses_val = jnp.exp(-lit_to_clause(batch, sp))
-    clauses_val = clauses_val * batch.clause_mask[:, None]
-
-    sig = jax.nn.sigmoid(literals)                       # d softplus
-    back = clause_to_lit(batch, clauses_val, axis_name)  # [2V, K]
+    if plans is not None:
+        from diffusionsat_tpu.ops.pallas_segsum import (
+            plan_clause_to_lit, plan_lit_to_clause)
+        clauses_val = jnp.exp(-plan_lit_to_clause(sp, plans))
+        clauses_val = clauses_val * batch.clause_mask[:, None]
+        sig = jax.nn.sigmoid(literals)
+        back = plan_clause_to_lit(clauses_val, plans)
+    else:
+        clauses_val = jnp.exp(-lit_to_clause(batch, sp))
+        clauses_val = clauses_val * batch.clause_mask[:, None]
+        sig = jax.nn.sigmoid(literals)                       # d softplus
+        back = clause_to_lit(batch, clauses_val, axis_name)  # [2V, K]
     per_lit = -back * sig
     V = batch.V
     grad = per_lit[:V] - per_lit[V:]                     # +/- literal signs

@@ -151,7 +151,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                     denoised_num: jnp.ndarray | None = None,
                     rounds: int | None = None,
                     axis_name: str | None = None,
-                    early_exit: bool = False):
+                    early_exit: bool = False,
+                    plans=None):
     """Run the recurrent loop. Returns (out_logits [V,1], loss, steps, aux).
 
     With `axis_name` the batch is a clause shard under shard_map
@@ -209,7 +210,7 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                           mcfgs["variables_query"][0], v1,
                           compute_dtype=cfg.compute_dtype)
         clauses_loss, grads = softplus_loss_and_grad(query, batch,
-                                                     axis_name)
+                                                     axis_name, plans=plans)
         variables_grad = grads * var_degree_weight
         clauses_loss = clauses_loss * 4.0
 
@@ -219,7 +220,14 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                                 compute_dtype=cfg.compute_dtype)
             lit1, lit2 = jnp.split(var_msg, 2, axis=1)
             literals = jnp.concatenate([lit1, lit2], axis=0)  # [2V, Q]
-            clause_messages = lit_to_clause(batch, literals) * rev_degree_weight
+            if plans is not None:
+                from diffusionsat_tpu.ops.pallas_segsum import (
+                    plan_lit_to_clause)
+                clause_messages = plan_lit_to_clause(literals, plans) * \
+                    rev_degree_weight
+            else:
+                clause_messages = lit_to_clause(batch, literals) * \
+                    rev_degree_weight
             clause_unit = jnp.concatenate(
                 [clause_state, clause_messages, clauses_loss], axis=-1)
         else:
@@ -235,8 +243,13 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         new_clause_state = new_clause_value + 0.1 * clause_state
 
         # --- variable update (reference :269-280)
-        variables_loss = clause_to_lit(batch, variables_loss_all,
-                                       axis_name) * degree_weight
+        if plans is not None:
+            from diffusionsat_tpu.ops.pallas_segsum import plan_clause_to_lit
+            variables_loss = plan_clause_to_lit(variables_loss_all, plans) * \
+                degree_weight
+        else:
+            variables_loss = clause_to_lit(batch, variables_loss_all,
+                                           axis_name) * degree_weight
         variables_loss_pos = variables_loss[:V]
         variables_loss_neg = variables_loss[V:]
         unit = jnp.concatenate(
