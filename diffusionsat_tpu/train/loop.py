@@ -120,18 +120,24 @@ def make_selfsupervised_train_step(cfg: QuerySATConfig,
 
 
 def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
-                      prediction_tries: int = 1):
+                      prediction_tries: int = 1,
+                      noise_scale: float | None = None):
     """Jitted predict step (reference model/query_sat.py:424-451). With
     prediction_tries > 1 the model is re-run with fresh randomness and
-    per-graph solutions accumulate across tries (`:426-445`)."""
+    per-graph solutions accumulate across tries (`:426-445`).
+    `noise_scale` pins the conditioning noise level (e.g. 1.0 = pure
+    solving, no label signal) instead of the reference's uniform draw —
+    removes eval-metric variance from the noise lottery."""
     from diffusionsat_tpu.losses.sat import is_graph_sat
     from diffusionsat_tpu.ops.graph_ops import graph_gather_vars
+
+    extra = {} if noise_scale is None else {"noise_scale": noise_scale}
 
     @jax.jit
     def predict_step(params, batch: SatBatch, key: jax.Array):
         if prediction_tries == 1:
             logits, loss, steps, aux = apply_fn(
-                params, cfg, batch, key, training=False)
+                params, cfg, batch, key, training=False, **extra)
             return {"prediction": logits[:, 0], "loss": loss,
                     "steps_taken": steps}
 
@@ -156,10 +162,12 @@ def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
 
 def evaluate_metrics(params, cfg, data, metrics: list[Metric],
                      key: jax.Array, max_batches: int | None = None,
-                     apply_fn: Callable = query_sat_apply) -> dict:
+                     apply_fn: Callable = query_sat_apply,
+                     noise_scale: float | None = None) -> dict:
     """Run predict over a dataset, accumulate metrics
     (reference main.py:324-352)."""
-    predict_step = make_predict_step(cfg, apply_fn)
+    predict_step = make_predict_step(cfg, apply_fn,
+                                     noise_scale=noise_scale)
     it = iter(data)
     if max_batches is not None:
         it = itertools.islice(it, max_batches)
