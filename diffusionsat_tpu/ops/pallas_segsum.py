@@ -99,9 +99,9 @@ def _segsum_kernel(base_ref, values_ref, local_ids_ref, mask_ref, init_ref,
     del init_ref  # aliased to out_ref: provides the zero initialization
     t = pl.program_id(0)
     te = values_ref.shape[0]
-    onehot = (local_ids_ref[0, :].reshape(te, 1) ==
+    onehot = (local_ids_ref[:].reshape(te, 1) ==
               jax.lax.broadcasted_iota(jnp.int32, (te, window), 1))
-    onehot = onehot.astype(jnp.float32) * mask_ref[0, :].reshape(te, 1)
+    onehot = onehot.astype(jnp.float32) * mask_ref[:].reshape(te, 1)
     part_ref[:] = jax.lax.dot_general(
         onehot, values_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -126,9 +126,9 @@ def segsum_pallas(values: jnp.ndarray, plan: SegsumPlan) -> jnp.ndarray:
         in_specs=[
             pl.BlockSpec((TE, F), lambda t, base: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TE), lambda t, base: (t, 0),
+            pl.BlockSpec((TE,), lambda t, base: (t,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TE), lambda t, base: (t, 0),
+            pl.BlockSpec((TE,), lambda t, base: (t,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # zero init (aliased)
         ],
@@ -147,8 +147,9 @@ def segsum_pallas(values: jnp.ndarray, plan: SegsumPlan) -> jnp.ndarray:
         # operand indices include the scalar-prefetch arg: init is input 4
         input_output_aliases={4: 0},
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(plan.base), values, jnp.asarray(plan.local_ids),
-      jnp.asarray(plan.mask), init)
+    )(jnp.asarray(plan.base), values,
+      jnp.asarray(plan.local_ids).reshape(-1),
+      jnp.asarray(plan.mask).reshape(-1), init)
     return out[:plan.num_segments]
 
 
@@ -168,12 +169,16 @@ def gather_segsum(src: jnp.ndarray, gather_idx: jnp.ndarray,
 # VJP: d/dx sum-into-clauses == gather-back-from-clauses summed per literal.
 
 
-class BatchPlans(NamedTuple):
+from flax import struct
+
+
+@struct.dataclass
+class BatchPlans:
     """Bucket-static (padded) plan arrays for both SpMM directions.
 
-    *_gather holds the pre-folded source row per plan slot; *_segs the
-    padded tile metadata. Shapes depend only on the bucket, so jitted
-    functions taking BatchPlans compile once per bucket.
+    *_gather holds the pre-folded source row per plan slot. Shapes depend
+    only on the bucket, so jitted functions taking BatchPlans compile once
+    per bucket; the sizing ints are static pytree metadata.
     """
     c_local_ids: jnp.ndarray  # [Tc, TE]
     c_mask: jnp.ndarray       # [Tc, TE]
@@ -183,10 +188,10 @@ class BatchPlans(NamedTuple):
     l_mask: jnp.ndarray       # [Tl, TE]
     l_base: jnp.ndarray       # [Tl]
     l_gather: jnp.ndarray     # [Tl*TE] clause row per slot
-    tile_edges: int = 256
-    window: int = 128
-    num_clauses: int = 0
-    num_literals: int = 0
+    tile_edges: int = struct.field(pytree_node=False, default=256)
+    window: int = struct.field(pytree_node=False, default=128)
+    num_clauses: int = struct.field(pytree_node=False, default=0)
+    num_literals: int = struct.field(pytree_node=False, default=0)
 
 
 def _pad_plan(plan: SegsumPlan, gather_idx: np.ndarray, pad_tiles: int):
