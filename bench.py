@@ -57,8 +57,10 @@ def main():
     from diffusionsat_tpu.graph.batch import BucketSpec
     from diffusionsat_tpu.models.query_sat import (
         QuerySATConfig, query_sat_init)
+    from diffusionsat_tpu.ops.pallas_segsum import build_batch_plans
     from diffusionsat_tpu.train.adabelief import adabelief
-    from diffusionsat_tpu.train.loop import TrainState, make_train_step
+    from diffusionsat_tpu.train.loop import (
+        TrainState, make_planned_train_step, make_train_step)
 
     profile_dir = os.environ.get("DSAT_PROFILE_DIR")
 
@@ -73,7 +75,16 @@ def main():
     opt = adabelief(learning_rate=1e-3)
     state = TrainState(params=params, opt_state=opt.init(params),
                        step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
-    train_step = make_train_step(cfg, opt)
+
+    # Pallas-plan SpMM path when the batch tiles cleanly; XLA otherwise
+    plans = None
+    if jax.default_backend() == "tpu":
+        plans = build_batch_plans(batch)
+    if plans is not None:
+        planned = make_planned_train_step(cfg, opt)
+        train_step = lambda s, b: planned(s, b, plans)
+    else:
+        train_step = make_train_step(cfg, opt)
 
     # warmup / compile; NB fetch a value to the host — through the axon
     # tunnel block_until_ready alone does not wait for execution

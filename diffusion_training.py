@@ -28,6 +28,7 @@ from diffusionsat_tpu.train.checkpoint import CheckpointManager
 from diffusionsat_tpu.train.loop import (
     TrainState,
     evaluate_metrics,
+    make_planned_train_step,
     make_train_step,
     train,
 )
@@ -96,7 +97,20 @@ def main(argv=None):
         state = restored
         print(f"Restored from step {int(state.step)}")
 
-    train_step = make_train_step(model_cfg, optimizer)
+    # Pallas-plan SpMM path: plans precomputed per batch on the host
+    import jax as _jax
+    plans_by_id = {}
+    if _jax.default_backend() == "tpu":
+        from diffusionsat_tpu.ops.pallas_segsum import build_batch_plans
+        for b in train_data.batches:
+            plans_by_id[id(b)] = build_batch_plans(b)
+    if plans_by_id and all(p is not None for p in plans_by_id.values()):
+        planned = make_planned_train_step(model_cfg, optimizer)
+
+        def train_step(state, batch):
+            return planned(state, batch, plans_by_id[id(batch)])
+    else:
+        train_step = make_train_step(model_cfg, optimizer)
 
     def eval_fn(st):
         return evaluate_metrics(

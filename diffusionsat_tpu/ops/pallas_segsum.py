@@ -37,8 +37,8 @@ class SegsumPlan(NamedTuple):
 
 
 def build_segsum_plan(seg_ids: np.ndarray, mask: np.ndarray,
-                      num_segments: int, tile_edges: int = 256,
-                      window: int = 128) -> SegsumPlan | None:
+                      num_segments: int, tile_edges: int = 1024,
+                      window: int = 512) -> SegsumPlan | None:
     """Pack valid edges (sorted by segment) into boundary-aligned tiles.
 
     A tile takes up to `tile_edges` edges but never splits a segment and
@@ -104,7 +104,8 @@ def _segsum_kernel(base_ref, values_ref, local_ids_ref, mask_ref, init_ref,
     onehot = onehot.astype(jnp.float32) * mask_ref[:].reshape(te, 1)
     part_ref[:] = jax.lax.dot_general(
         onehot, values_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     dma = pltpu.make_async_copy(
         part_ref, out_ref.at[pl.ds(base_ref[t], window)], sem)
     dma.start()
@@ -188,8 +189,8 @@ class BatchPlans:
     l_mask: jnp.ndarray       # [Tl, TE]
     l_base: jnp.ndarray       # [Tl]
     l_gather: jnp.ndarray     # [Tl*TE] clause row per slot
-    tile_edges: int = struct.field(pytree_node=False, default=256)
-    window: int = struct.field(pytree_node=False, default=128)
+    tile_edges: int = struct.field(pytree_node=False, default=1024)
+    window: int = struct.field(pytree_node=False, default=512)
     num_clauses: int = struct.field(pytree_node=False, default=0)
     num_literals: int = struct.field(pytree_node=False, default=0)
 
@@ -210,7 +211,7 @@ def _pad_plan(plan: SegsumPlan, gather_idx: np.ndarray, pad_tiles: int):
     return local_ids, mask, base, gather
 
 
-def build_batch_plans(batch, tile_edges: int = 256, window: int = 128,
+def build_batch_plans(batch, tile_edges: int = 1024, window: int = 512,
                       pad_tiles: int | None = None) -> BatchPlans | None:
     """Build padded plans for both directions of a SatBatch. Returns None
     when a segment exceeds the tile/window limits (caller falls back to

