@@ -44,7 +44,7 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
     """
     N = diffusion_steps
 
-    def chain(params, batch: SatBatch, key: jax.Array):
+    def chain(params, batch: SatBatch, key: jax.Array, plans=None):
         V = batch.V
 
         def body(t, carry):
@@ -62,7 +62,8 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
             logits, _, _, _ = query_sat_apply(
                 params, cfg, batch, k_model, training=False,
                 noise_scale=noise_scale, noisy_num=x_noisy,
-                denoised_num=denoised, rounds=test_rounds, early_exit=True)
+                denoised_num=denoised, rounds=test_rounds, early_exit=True,
+                plans=plans)
             predictions = jax.nn.sigmoid(logits[:, 0])  # [V]
 
             x = reverse_distribution_step_theoretic(
@@ -146,6 +147,10 @@ class DiffusionSampler:
         formulas = [(self.n_vars, self.clauses)] * self.graphs_per_batch
         sols = [[0] * self.n_vars] * self.graphs_per_batch
         self.batch = build_batch(formulas, self.bucket, solutions=sols)
+        self.plans = None
+        if jax.default_backend() == "tpu":
+            from diffusionsat_tpu.ops.pallas_segsum import build_batch_plans
+            self.plans = build_batch_plans(self.batch)
 
     @classmethod
     def from_checkpoint(cls, model_path: str, dimacs_filename: str,
@@ -188,7 +193,8 @@ class DiffusionSampler:
                 print("too many unsat samples; stopping diffusion")
                 break
             self.key, subkey = jax.random.split(self.key)
-            bits, solved, _ = self.chain(self.params, self.batch, subkey)
+            bits, solved, _ = self.chain(self.params, self.batch, subkey,
+                                         self.plans)
             bits = np.asarray(bits)
             solved = np.asarray(solved)
             for g in range(self.graphs_per_batch):
