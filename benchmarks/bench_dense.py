@@ -1,0 +1,128 @@
+"""Ablation bench: flat vs dense QuerySAT train step on the reference
+20k-node workload (hard 3-SAT threshold mix, 32 rounds).
+
+Usage: python benchmarks/bench_dense.py [--flat] [--dense] [--fwd]
+Prints one JSON line per measured variant. See STATUS.md perf notes.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_flat_workload(rng, budget=20_000, min_vars=3, max_vars=30):
+    """Random threshold 3-SAT packed to the node budget — matches the
+    flagship training distribution (reference diffusion_training.py:76-79,
+    config.py:35)."""
+    from diffusionsat_tpu.graph.batch import BucketSpec, build_batch
+
+    bucket = BucketSpec.for_node_budget(budget, max_graphs=512)
+    formulas, sols = [], []
+    v_tot = c_tot = e_tot = 0
+    while True:
+        n = int(rng.integers(min_vars, max_vars + 1))
+        m = int(4.258 * n + 58.26 * n ** (-2.0 / 3.0))
+        clauses = []
+        for _ in range(m):
+            vs = rng.choice(n, size=3, replace=False) + 1
+            clauses.append([int(v) if rng.random() < 0.5 else -int(v)
+                            for v in vs])
+        if (2 * (v_tot + n) + c_tot + m > budget
+                or v_tot + n > bucket.max_vars
+                or c_tot + m > bucket.max_clauses
+                or e_tot + 3 * m > bucket.max_edges
+                or len(formulas) >= bucket.max_graphs):
+            break
+        formulas.append((n, clauses))
+        sols.append(rng.integers(0, 2, size=n).tolist())
+        v_tot += n
+        c_tot += m
+        e_tot += 3 * m
+    batch = build_batch(formulas, bucket, solutions=sols)
+    return batch, e_tot
+
+
+def timeit(step, state, batch, iters=15):
+    state, out = step(state, batch)
+    float(out["loss"])  # host fetch = sync through the tunnel
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = step(state, batch)
+    float(out["loss"])
+    float(jnp.sum(jax.tree.leaves(state.params)[0]))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flat", action="store_true")
+    ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"])
+    ap.add_argument("--bf16_mlp", action="store_true")
+    ap.add_argument("--budget", type=int, default=20_000)
+    args = ap.parse_args()
+    if not (args.flat or args.dense):
+        args.dense = True
+
+    from diffusionsat_tpu.graph.dense_batch import densify_batches
+    from diffusionsat_tpu.models.query_sat import (
+        QuerySATConfig, query_sat_init)
+    from diffusionsat_tpu.models.query_sat_dense import query_sat_dense_apply
+    from diffusionsat_tpu.ops import dense_ops
+    from diffusionsat_tpu.train.adabelief import adabelief
+    from diffusionsat_tpu.train.loop import (
+        TrainState, make_train_step, make_train_step_for)
+
+    dense_ops.INCIDENCE_PRECISION = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT}[args.precision]
+
+    rng = np.random.default_rng(0)
+    flat, edges = build_flat_workload(rng, args.budget)
+    cfg = QuerySATConfig(compute_dtype=jnp.bfloat16 if args.bf16_mlp
+                         else None)
+    params = query_sat_init(jax.random.key(0), cfg)
+    opt = adabelief(learning_rate=1e-3)
+
+    def fresh_state():
+        return TrainState(params=params, opt_state=opt.init(params),
+                          step=jnp.zeros((), jnp.int32),
+                          key=jax.random.key(1))
+
+    meta = {"edges": edges, "vars": int(flat.n_vars),
+            "clauses": int(flat.n_clauses), "graphs": int(flat.n_graphs),
+            "rounds": cfg.train_rounds}
+
+    if args.flat:
+        dt = timeit(make_train_step(cfg, opt), fresh_state(), flat)
+        print(json.dumps({"variant": "flat_xla", "step_ms": round(dt * 1e3, 2),
+                          "edges_per_sec_M": round(
+                              edges * 2 * cfg.train_rounds / dt / 1e6, 2),
+                          **meta}))
+
+    if args.dense:
+        dense = densify_batches([flat])[0]
+        dt = timeit(make_train_step_for(query_sat_dense_apply, cfg, opt),
+                    fresh_state(), dense)
+        print(json.dumps({"variant": f"dense_{args.precision}"
+                          + ("_bf16mlp" if args.bf16_mlp else ""),
+                          "step_ms": round(dt * 1e3, 2),
+                          "edges_per_sec_M": round(
+                              edges * 2 * cfg.train_rounds / dt / 1e6, 2),
+                          "dense_dims": [dense.G, dense.Vg, dense.Cg],
+                          **meta}))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,14 @@ class RunConfig:
     query_maps: int = 128
     logit_maps: int = 8
 
+    # execution layout: dense per-graph blocks (graph/dense_batch.py) when
+    # every graph fits the block dims — the MXU fast path for small-graph
+    # workloads; falls back to the flat edge-list path otherwise
+    dense: bool = True
+    # matmul precision for the dense incidence einsums:
+    # highest (true f32) | high (bf16x3) | default (bf16, fastest)
+    incidence_precision: str = "highest"
+
     seed: int = 0
 
     def run_dir(self) -> Path:

@@ -33,8 +33,9 @@ def randomized_rounding(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def add_t_emb(x: jnp.ndarray, noise_scale: jnp.ndarray) -> jnp.ndarray:
-    """Append a constant noise-level column (reference model/query_sat.py:70-74)."""
-    t_col = jnp.zeros((x.shape[0], 1), x.dtype) + noise_scale
+    """Append a constant noise-level column (reference model/query_sat.py:70-74).
+    Works for any leading shape [..., F]."""
+    t_col = jnp.zeros(x.shape[:-1] + (1,), x.dtype) + noise_scale
     return jnp.concatenate([x, t_col], axis=-1)
 
 

@@ -82,6 +82,16 @@ class QuerySATConfig:
     # workload, fits v5e HBM comfortably), "dots" = save matmul outputs,
     # "full" = recompute the whole round in backward (lowest memory)
     remat: str = "none"
+    # sanitizer/diagnostic knob: zero the per-round exploration noise so a
+    # run is deterministic given explicit noise inputs — used by the
+    # flat-vs-dense equivalence tests and for NaN bisection
+    debug_zero_noise: bool = False
+    # emit per-round in-model statistics (query/grad/state magnitudes,
+    # per-round loss) through aux["round_stats"] — the analog of the
+    # reference's in-graph tf.summary diagnostics
+    # (model/query_sat.py:171-183,350-359). Off in the hot training step;
+    # a separate jitted diagnostics forward uses it periodically.
+    collect_round_stats: bool = False
 
     @property
     def label_channels(self) -> int:
@@ -203,7 +213,10 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         # --- query + gradient of clause loss wrt query (reference :227-245)
         # computed in closed form (losses.softplus_loss_and_grad) — same
         # values as autodiff, but first-order ops under the outer backward
-        noise4 = jax.random.normal(k_v1, (V, 4), cfg.dtype)
+        if cfg.debug_zero_noise:
+            noise4 = jnp.zeros((V, 4), cfg.dtype)
+        else:
+            noise4 = jax.random.normal(k_v1, (V, 4), cfg.dtype)
         v1 = jnp.concatenate([variables, noise4, noisy_labels], axis=-1)
 
         query = mlp_apply(params["variables_query"],
@@ -328,7 +341,21 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         new_done = jnp.logical_or(done, sat)
         new_carry = (upd_variables, upd_clause_state, upd_logits, upd_best,
                      loss_sum, loss_count, steps, new_done)
-        return new_carry, None
+        if cfg.collect_round_stats:
+            # reference in-graph summaries (model/query_sat.py:171-183)
+            ys = {
+                "logit_loss": logit_loss,
+                "query_mean_abs": jnp.mean(jnp.abs(query)),
+                "grad_mean_abs": jnp.mean(jnp.abs(variables_grad)),
+                "var_state_rms": jnp.sqrt(jnp.mean(jnp.square(new_variables))),
+                "clause_state_rms": jnp.sqrt(
+                    jnp.mean(jnp.square(new_clause_state))),
+                "logits_mean_abs": jnp.mean(jnp.abs(logits)),
+                "batch_sat": sat.astype(jnp.float32),
+            }
+        else:
+            ys = None
+        return new_carry, ys
 
     init_carry = (
         jnp.ones((V, cfg.feature_maps), cfg.dtype),   # variables (:148)
@@ -351,9 +378,10 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                 scan_body, policy=jax.checkpoint_policies.dots_saveable)
         else:
             body = scan_body
-        carry, _ = jax.lax.scan(body, init_carry,
-                                jnp.arange(rounds, dtype=jnp.int32))
+        carry, round_stats = jax.lax.scan(body, init_carry,
+                                          jnp.arange(rounds, dtype=jnp.int32))
     else:
+        round_stats = None
         # inference fast path: a bounded while_loop that stops as soon as
         # the whole batch is satisfied (the reference's break, :330-338) —
         # identical outputs to the masked scan, but skips the tail rounds
@@ -387,4 +415,6 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
         "variables_state": variables,
         "clause_state": clause_state,
     }
+    if round_stats is not None:
+        aux["round_stats"] = round_stats
     return out_logits, loss, steps_taken, aux

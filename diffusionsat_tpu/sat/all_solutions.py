@@ -30,9 +30,17 @@ class AllSolutions:
                 seed=self.seed)
 
     def count(self) -> int:
-        """Number of solutions (>= lower bound when capped)."""
+        """Number of solutions: exact when the enumeration budget
+        suffices, else an ApproxMC-style XOR-hash estimate (reference
+        pyapproxmc slot, `utils/AllSolutions.py:20-41`)."""
         self._ensure()
-        return len(self._models)
+        if self._complete:
+            return len(self._models)
+        from diffusionsat_tpu.sat.xor_hash import approx_count
+        # enumeration already proved the count exceeds the budget, so a
+        # tiny exact recheck inside approx_count suffices
+        res = approx_count(self.clauses, self.n_vars, seed=self.seed)
+        return max(int(res.count), len(self._models))
 
     @property
     def is_exact(self) -> bool:

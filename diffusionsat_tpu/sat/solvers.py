@@ -174,8 +174,11 @@ class UniformSampler(SatSolver):
     `satsolvers/Unigen.py:17-43`).
 
     Exact: enumerate all models (budgeted) and sample uniformly. If the
-    model count exceeds the enumeration budget, fall back to
-    random-polarity CDCL samples (diverse but not exactly uniform).
+    model count exceeds the enumeration budget, XOR-hash the solution
+    space into cells and sample near-uniformly within a random cell
+    (sat/xor_hash.HashUniformSampler — the reference's actual Unigen
+    algorithm family); random-polarity CDCL remains only as a last-resort
+    fallback when hashing fails to isolate a cell.
     """
 
     def __init__(self, max_enumerate: int = 200_000, seed: int = 0):
@@ -195,14 +198,18 @@ class UniformSampler(SatSolver):
         if complete:
             rows = rng.integers(0, len(models), size=n_samples)
             picked = models[rows]
-        else:  # too many models to enumerate: random-polarity CDCL per sample
-            picked = []
-            for k in range(n_samples):
-                ok, m = solve(clauses, n_vars, seed=self.seed + 1 + k,
-                              rand_polarity=True)
-                assert ok
-                picked.append([1 if l > 0 else 0 for l in m])
-            picked = np.asarray(picked, dtype=np.uint8)
+        else:  # too many models to enumerate: XOR-hash near-uniform cells
+            from diffusionsat_tpu.sat.xor_hash import HashUniformSampler
+            picked = HashUniformSampler(seed=self.seed).sample_bits(
+                clauses, n_vars, n_samples)
+            if picked is None:  # hashing degenerate: rand-polarity CDCL
+                picked = []
+                for k in range(n_samples):
+                    ok, m = solve(clauses, n_vars, seed=self.seed + 1 + k,
+                                  rand_polarity=True)
+                    assert ok
+                    picked.append([1 if l > 0 else 0 for l in m])
+                picked = np.asarray(picked, dtype=np.uint8)
         out = [[(i + 1) if row[i] else -(i + 1) for i in range(n_vars)]
                for row in picked]
         return True, out

@@ -108,6 +108,45 @@ def make_planned_train_step(cfg: QuerySATConfig,
     return train_step
 
 
+def make_diagnostics_step(cfg, apply_fn: Callable = query_sat_apply):
+    """Jitted diagnostics forward: one extra training-mode pass with
+    per-round in-model statistics enabled (aux["round_stats"]) plus a
+    parameter-gradient norm breakdown per MLP. The analog of the
+    reference's periodic tf.summary diagnostics
+    (model/query_sat.py:171-183,350-359, diffusion_training.py:297-317),
+    kept out of the hot train step so it costs nothing except when called.
+    Returns a flat dict of python-serializable stats."""
+    import dataclasses as _dc
+
+    diag_cfg = _dc.replace(cfg, collect_round_stats=True)
+    with_labels = _accepts_labels(apply_fn)
+
+    @jax.jit
+    def diag(params, batch, key: jax.Array):
+        def loss_fn(p):
+            kw = {"labels": batch.solutions} if with_labels else {}
+            _, loss, steps, aux = apply_fn(p, diag_cfg, batch, key,
+                                           training=True, **kw)
+            return loss, (steps, aux["round_stats"])
+
+        (loss, (steps, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grad_norms = {f"gradnorm/{k}": optax.global_norm(v)
+                      for k, v in grads.items()}
+        return loss, steps, stats, grad_norms
+
+    def run(params, batch, key: jax.Array) -> dict:
+        loss, steps, stats, grad_norms = diag(params, batch, key)
+        out = {"diag_loss": float(loss), "diag_steps": int(steps)}
+        for k, v in stats.items():
+            out[f"round/{k}"] = [round(float(x), 5) for x in v]
+        for k, v in grad_norms.items():
+            out[k] = float(v)
+        return out
+
+    return run
+
+
 def make_selfsupervised_train_step(cfg: QuerySATConfig,
                                    optimizer: optax.GradientTransformation):
     """Self-conditioning diffusion train step (reference
