@@ -1,0 +1,119 @@
+"""ANFSAT training driver: SHA-1 preimage ANF systems.
+
+The reference trains ANFSAT on cgen-generated SHA-1 ANF at 17 rounds with
+2-20 free message bits (`/root/reference/data/sha_anf.py:24-27`); this
+driver reproduces that task on the cgen-free encoder
+(diffusionsat_tpu/data/sha_anf.py) at reference difficulty by default.
+
+    python anf_training.py --rounds 17 --min_free_bits 2 --max_free_bits 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from diffusionsat_tpu.data.anf_datasets import AnfDataset
+from diffusionsat_tpu.data.sha_anf import Sha1AnfInstances
+from diffusionsat_tpu.graph.anf_batch import ANFBucket
+from diffusionsat_tpu.models.anf_sat import (
+    ANFSATConfig,
+    anf_sat_apply,
+    anf_sat_init,
+)
+from diffusionsat_tpu.train.adabelief import adabelief
+from diffusionsat_tpu.train.checkpoint import CheckpointManager
+from diffusionsat_tpu.train.loop import (
+    TrainState,
+    evaluate_metrics,
+    make_train_step_for,
+    train,
+)
+from diffusionsat_tpu.train.metrics import ANFAccuracy
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rounds", type=int, default=17)
+    p.add_argument("--min_free_bits", type=int, default=2)
+    p.add_argument("--max_free_bits", type=int, default=20)
+    p.add_argument("--train_size", type=int, default=2000)
+    p.add_argument("--test_size", type=int, default=200)
+    p.add_argument("--train_steps", type=int, default=1500)
+    p.add_argument("--train_rounds", type=int, default=16)
+    p.add_argument("--test_rounds", type=int, default=32)
+    p.add_argument("--feature_maps", type=int, default=128)
+    p.add_argument("--eval_every", type=int, default=250)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--label", default="")
+    p.add_argument("--train_dir", default="runs_anf")
+    # bucket sized for 17-round instances (~4k vars / ~4.1k equations);
+    # two instances per batch
+    p.add_argument("--max_vars", type=int, default=8192)
+    p.add_argument("--max_ands", type=int, default=16384)
+    p.add_argument("--max_clauses", type=int, default=8704)
+    p.add_argument("--max_edges", type=int, default=32768)
+    p.add_argument("--max_graphs", type=int, default=8)
+    args = p.parse_args(argv)
+
+    inst = Sha1AnfInstances(
+        rounds=args.rounds, min_free_bits=args.min_free_bits,
+        max_free_bits=args.max_free_bits, train_size=args.train_size,
+        test_size=args.test_size, seed=args.seed)
+    bucket = ANFBucket(max_vars=args.max_vars, max_ands=args.max_ands,
+                       max_clauses=args.max_clauses,
+                       max_edges=args.max_edges,
+                       max_graphs=args.max_graphs)
+    name = (f"sha1anf_r{args.rounds}_fb{args.min_free_bits}_"
+            f"{args.max_free_bits}_{args.train_size}")
+    ds = AnfDataset(inst, bucket, name=name, seed=args.seed)
+    train_batches = ds.train_data()
+    test_batches = ds.test_data()
+    assert train_batches, "no instance fits the bucket — raise the limits"
+    print(f"train batches: {len(train_batches)}, "
+          f"test batches: {len(test_batches)}", flush=True)
+
+    cfg = ANFSATConfig(feature_maps=args.feature_maps,
+                       query_maps=args.feature_maps,
+                       train_rounds=args.train_rounds,
+                       test_rounds=args.test_rounds)
+    opt = adabelief(learning_rate=args.lr, clip_gradients=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = anf_sat_init(jax.random.key(args.seed), cfg)
+        state = TrainState(params=params, opt_state=opt.init(params),
+                           step=jnp.zeros((), jnp.int32),
+                           key=jax.random.key(args.seed + 1))
+    state = jax.device_put(state, jax.devices()[0])
+
+    import time
+    from pathlib import Path
+    run_dir = Path(args.train_dir) / (
+        f"anf_sat_r{args.rounds}{'_' + args.label if args.label else ''}_"
+        + time.strftime("%Y%m%d_%H%M%S"))
+    run_dir.mkdir(parents=True, exist_ok=True)
+    mgr = CheckpointManager(run_dir / "ckpt", max_to_keep=2)
+
+    step_fn = make_train_step_for(anf_sat_apply, cfg, opt)
+
+    def eval_fn(st):
+        return evaluate_metrics(st.params, cfg, test_batches,
+                                [ANFAccuracy()], jax.random.key(9),
+                                max_batches=16, apply_fn=anf_sat_apply)
+
+    state = train(state, step_fn, ds.repeat_shuffled(train_batches),
+                  steps=args.train_steps, eval_fn=eval_fn,
+                  eval_every=args.eval_every, checkpoint_fn=mgr.save,
+                  ckpt_every=args.eval_every * 2,
+                  log_file=run_dir / "train_log.jsonl")
+    mgr.save(state)
+    final = eval_fn(state)
+    print(f"[final] {final}")
+    return final
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

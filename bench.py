@@ -4,13 +4,23 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}. The metric is message-passing edge throughput
 (edges/s/chip) over the full jitted train step at the reference's standard
 workload shape: hard 3-SAT packed to the 20k node budget, 32 rounds
-(reference config.py:24-35, model/query_sat.py:89).
+(reference config.py:24-35, model/query_sat.py:89), executed on the dense
+per-graph block path (graph/dense_batch.py) — the layout the flagship
+training driver uses on this workload.
 
-vs_baseline is measured against the reference TF2 implementation's
-single-GPU T4 workload equivalent. The reference publishes no throughput
-numbers (BASELINE.md), so the baseline constant below is our measured
-per-step edge work divided by a conservative reference-step estimate; it
-is recalibrated whenever a reference measurement becomes available.
+Roofline note (v5e, measured round 2): the dense step turns every graph
+aggregation into batched matmuls, so the old "SpMM speed-of-light" framing
+collapses into plain matmul efficiency. Measured 86 ms/step at this
+workload = ~1.6 TFLOP of matmul work -> ~19 TFLOP/s sustained, ~40% of
+the chip's f32 matmul peak (~49 TFLOP/s) — the residual gap is small-row
+matmuls (G*Vg ~ 5-12k rows) and the elementwise round body, not memory
+traffic. The flat edge-list path measured 228 ms on the same workload
+(benchmarks/bench_dense.py reproduces both).
+
+vs_baseline: the reference TF2 code publishes no numbers (BASELINE.md) and
+TF2 is not installed here; the baseline constant is an estimate of the
+reference's T4 step rate (~3.5 steps/s -> ~1e7 edge traversals/s) kept
+fixed across rounds for comparability.
 """
 
 import json
@@ -22,24 +32,27 @@ import jax
 import jax.numpy as jnp
 
 
-def build_workload(rng, bucket, target_vars):
-    """Random 3-SAT at the threshold ratio packed to fill the bucket."""
+def build_workload(rng, bucket, budget, min_vars=3, max_vars=30):
+    """Random threshold 3-SAT packed to the reference node budget
+    (2V + C <= budget), matching the flagship training distribution
+    (reference diffusion_training.py:76-79)."""
     from diffusionsat_tpu.graph.batch import build_batch
 
     formulas, sols = [], []
     v_tot = c_tot = e_tot = 0
     while True:
-        n = int(rng.integers(20, 31))
+        n = int(rng.integers(min_vars, max_vars + 1))
         m = int(4.258 * n + 58.26 * n ** (-2.0 / 3.0))
         clauses = []
         for _ in range(m):
             vs = rng.choice(n, size=3, replace=False) + 1
             clauses.append([int(v) if rng.random() < 0.5 else -int(v)
                             for v in vs])
-        if (v_tot + n > bucket.max_vars or c_tot + m > bucket.max_clauses
+        if (2 * (v_tot + n) + c_tot + m > budget
+                or v_tot + n > bucket.max_vars
+                or c_tot + m > bucket.max_clauses
                 or e_tot + 3 * m > bucket.max_edges
-                or len(formulas) >= bucket.max_graphs
-                or v_tot + n > target_vars):
+                or len(formulas) >= bucket.max_graphs):
             break
         formulas.append((n, clauses))
         # benchmark labels need not be true solutions
@@ -55,20 +68,21 @@ def main():
     import os
 
     from diffusionsat_tpu.graph.batch import BucketSpec
+    from diffusionsat_tpu.graph.dense_batch import densify_batches
     from diffusionsat_tpu.models.query_sat import (
         QuerySATConfig, query_sat_init)
-    from diffusionsat_tpu.ops.pallas_segsum import build_batch_plans
+    from diffusionsat_tpu.models.query_sat_dense import query_sat_dense_apply
+    from diffusionsat_tpu.ops import dense_ops
     from diffusionsat_tpu.train.adabelief import adabelief
     from diffusionsat_tpu.train.loop import (
-        TrainState, make_planned_train_step, make_train_step)
+        TrainState, make_train_step, make_train_step_for)
 
     profile_dir = os.environ.get("DSAT_PROFILE_DIR")
 
     rng = np.random.default_rng(0)
     # reference workload: max_nodes_per_batch=20k (config.py:35)
     bucket = BucketSpec.for_node_budget(20_000, max_graphs=512)
-    target_vars = bucket.max_vars
-    batch, real_edges = build_workload(rng, bucket, target_vars)
+    batch, real_edges = build_workload(rng, bucket, budget=20_000)
 
     cfg = QuerySATConfig()  # full-size: 128 feature/query maps, 32 rounds
     params = query_sat_init(jax.random.key(0), cfg)
@@ -76,19 +90,22 @@ def main():
     state = TrainState(params=params, opt_state=opt.init(params),
                        step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
 
-    # Pallas-plan SpMM path when the batch tiles cleanly; XLA otherwise
-    plans = None
-    if jax.default_backend() == "tpu":
-        plans = build_batch_plans(batch)
-    if plans is not None:
-        planned = make_planned_train_step(cfg, opt)
-        train_step = lambda s, b: planned(s, b, plans)
-    else:
+    # dense per-graph block path (the flagship training configuration);
+    # flat fallback off-TPU or if a graph exceeds the block dims
+    variant = "dense"
+    try:
+        dense_ops.INCIDENCE_PRECISION = jax.lax.Precision.DEFAULT
+        dense = densify_batches([batch])[0]
+        train_step = make_train_step_for(query_sat_dense_apply, cfg, opt)
+        bench_batch = dense
+    except ValueError:
+        variant = "flat"
         train_step = make_train_step(cfg, opt)
+        bench_batch = batch
 
     # warmup / compile; NB fetch a value to the host — through the axon
     # tunnel block_until_ready alone does not wait for execution
-    state, out = train_step(state, batch)
+    state, out = train_step(state, bench_batch)
     float(out["loss"])
 
     # steady-state pipelined throughput: steps chain through the state
@@ -102,10 +119,9 @@ def main():
     iters = 15
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, out = train_step(state, batch)
+        state, out = train_step(state, bench_batch)
     float(out["loss"])
-    import jax as _jax
-    float(jnp.sum(_jax.tree.leaves(state.params)[0]))
+    float(jnp.sum(jax.tree.leaves(state.params)[0]))
     dt = (time.perf_counter() - t0) / iters
     if profile_dir:
         try:
@@ -120,24 +136,50 @@ def main():
     edges_per_sec = edges_per_step / dt
 
     # reference-equivalent estimate (the reference publishes no numbers,
-    # BASELINE.md, and TF2 is not installed here to measure): TF2 on a T4
-    # with tf.function sparse matmuls over a dynamic 32-round loop at this
-    # workload is estimated at ~3.5 steps/s -> ~1e7 edge traversals/s.
-    # Recalibrate when a measured reference number exists.
+    # BASELINE.md): TF2 on a T4 at this workload ~3.5 steps/s -> ~1e7
+    # edge traversals/s. Kept fixed across rounds for comparability.
     baseline_edges_per_sec = 1.0e7
 
-    print(json.dumps({
+    out = {
         "metric": "train_edge_throughput",
         "value": round(edges_per_sec / 1e6, 3),
         "unit": "M edge-traversals/s/chip",
         "vs_baseline": round(edges_per_sec / baseline_edges_per_sec, 3),
         "step_time_ms": round(dt * 1e3, 2),
+        "variant": variant,
         "edges": real_edges,
         "vars": int(batch.n_vars),
         "clauses": int(batch.n_clauses),
         "graphs": int(batch.n_graphs),
         "rounds": rounds,
-    }))
+    }
+    if variant == "dense":
+        # matmul roofline accounting (see module docstring)
+        G, Vg, Cg = bench_batch.G, bench_batch.Vg, bench_batch.Cg
+        f, q, h = cfg.feature_maps, cfg.query_maps, cfg.logit_maps
+        v1 = f + 4 + cfg.label_channels
+        mlp_macs_per_row = {
+            "query": v1 * int(q * cfg.query_scale) + int(q * cfg.query_scale) * q,
+            "lit": v1 * 4 * q + (4 * q) ** 2 // 4 + 4 * q * 2 * q,
+            "update": (q + v1 + 2 * q) * int(f * cfg.update_scale)
+            + int(f * cfg.update_scale) ** 2
+            + int(f * cfg.update_scale) * f,
+            "out": f * int(f * cfg.output_scale) + int(f * cfg.output_scale) * h,
+        }
+        var_rows, clause_rows = G * Vg, G * Cg
+        clause_macs = (f + 2 * q) * int(f * cfg.clauses_scale) \
+            + int(f * cfg.clauses_scale) ** 2 \
+            + int(f * cfg.clauses_scale) * (f + q)
+        einsum_macs = 4 * G * Cg * 2 * Vg * q
+        macs_per_round = (
+            var_rows * sum(mlp_macs_per_row.values())
+            + clause_rows * clause_macs + einsum_macs)
+        flops_per_step = macs_per_round * 2 * rounds * 3  # fwd + ~2x bwd
+        out["matmul_tflops_per_step"] = round(flops_per_step / 1e12, 3)
+        out["sustained_tflops"] = round(flops_per_step / dt / 1e12, 2)
+        out["pct_f32_matmul_peak"] = round(
+            100 * flops_per_step / dt / 49e12, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -143,6 +143,33 @@ def main(argv=None):
         else:
             train_step = make_train_step(model_cfg, optimizer)
 
+    # data parallelism: wrap the chosen layout's apply in the DP step and
+    # feed device-stacked batch groups (parallel/dp.py; VERDICT item 4)
+    data_stream = train_stream.repeat_shuffled()
+    if cfg.n_devices > 1:
+        from diffusionsat_tpu.parallel.dp import (
+            make_dp_train_step, stacked_stream)
+        from diffusionsat_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < cfg.n_devices:
+            raise SystemExit(
+                f"--n_devices {cfg.n_devices} but only "
+                f"{len(jax.devices())} devices visible (for CPU testing "
+                f"set XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+        mesh = make_mesh(n_data=cfg.n_devices, n_graph=1)
+        from jax.sharding import NamedSharding, PartitionSpec
+        # replicate the train state across the mesh (it was placed on
+        # device 0 above for the single-device path)
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        dp_apply = diag_apply if diag_apply is not None else None
+        if dp_apply is not None:
+            train_step = make_dp_train_step(model_cfg, optimizer, mesh,
+                                            apply_fn=dp_apply)
+        else:
+            train_step = make_dp_train_step(model_cfg, optimizer, mesh)
+        data_stream = stacked_stream(train_stream.batches, cfg.n_devices,
+                                     seed=cfg.seed)
+        print(f"data-parallel over {cfg.n_devices} devices", flush=True)
+
     # periodic in-model diagnostics on a fixed train batch (reference
     # diffusion_training.py:297-317 summaries)
     diag_fn = make_diagnostics_step(
@@ -162,7 +189,7 @@ def main(argv=None):
         return vals
 
     state = train(
-        state, train_step, train_stream.repeat_shuffled(),
+        state, train_step, data_stream,
         steps=cfg.train_steps - int(state.step),
         eval_fn=eval_fn, eval_every=cfg.eval_every,
         checkpoint_fn=mgr.save, ckpt_every=cfg.ckpt_every,

@@ -64,6 +64,11 @@ class RunConfig:
     # matmul precision for the dense incidence einsums:
     # highest (true f32) | high (bf16x3) | default (bf16, fastest)
     incidence_precision: str = "highest"
+    # data-parallel devices: >1 trains with parallel/dp.py over a 'data'
+    # mesh axis (one packed batch per device, gradient pmean over ICI);
+    # on hosts without that many accelerators use a virtual CPU mesh
+    # (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+    n_devices: int = 1
 
     seed: int = 0
 

@@ -47,7 +47,8 @@ def softplus_loss(logits: jnp.ndarray, batch: SatBatch, power: float = 1.0
 
 def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch,
                            axis_name: str | None = None,
-                           plans=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                           plans=None, halo: dict | None = None
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(softplus_loss per clause, gradient of its sum wrt logits) in closed
     form.
 
@@ -74,7 +75,7 @@ def softplus_loss_and_grad(logits: jnp.ndarray, batch: SatBatch,
         clauses_val = jnp.exp(-lit_to_clause(batch, sp))
         clauses_val = clauses_val * batch.clause_mask[:, None]
         sig = jax.nn.sigmoid(literals)                       # d softplus
-        back = clause_to_lit(batch, clauses_val, axis_name)  # [2V, K]
+        back = clause_to_lit(batch, clauses_val, axis_name, halo)  # [2V, K]
     per_lit = -back * sig
     V = batch.V
     grad = per_lit[:V] - per_lit[V:]                     # +/- literal signs

@@ -162,12 +162,16 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                     rounds: int | None = None,
                     axis_name: str | None = None,
                     early_exit: bool = False,
-                    plans=None):
+                    plans=None,
+                    halo: dict | None = None):
     """Run the recurrent loop. Returns (out_logits [V,1], loss, steps, aux).
 
     With `axis_name` the batch is a clause shard under shard_map
     (parallel/graph_partition.py): clause-side compute is local, literal
-    aggregates and per-graph clause reductions psum over the axis.
+    aggregates and per-graph clause reductions psum over the axis. With
+    `halo` (a parallel/halo.py plan view) the hot [2V, F] literal
+    aggregations exchange only boundary rows, and per-graph losses are
+    owner-masked before the (tiny) psum.
 
     Mirrors reference `call:133` + `loop:186`. `labels` are per-variable 0/1
     bits (flattened solutions); if None, random bits are drawn (predict
@@ -223,7 +227,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                           mcfgs["variables_query"][0], v1,
                           compute_dtype=cfg.compute_dtype)
         clauses_loss, grads = softplus_loss_and_grad(query, batch,
-                                                     axis_name, plans=plans)
+                                                     axis_name, plans=plans,
+                                                     halo=halo)
         variables_grad = grads * var_degree_weight
         clauses_loss = clauses_loss * 4.0
 
@@ -262,7 +267,7 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
                 degree_weight
         else:
             variables_loss = clause_to_lit(batch, variables_loss_all,
-                                           axis_name) * degree_weight
+                                           axis_name, halo) * degree_weight
         variables_loss_pos = variables_loss[:V]
         variables_loss_neg = variables_loss[V:]
         unit = jnp.concatenate(
@@ -284,6 +289,12 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
             per_var_loss = per_var_loss * batch.var_mask[:, None]
             per_graph_loss = var_segment_sum(batch, per_var_loss) * \
                 inv_var_counts[:, None]
+            if halo is not None:
+                # each graph's loss is valid only on its owner shard
+                # (other shards hold stale rows outside their closure);
+                # assemble the global [G, H] with one tiny psum
+                per_graph_loss = jax.lax.psum(
+                    per_graph_loss * halo["owner_mask"][:, None], axis_name)
         else:
             if cfg.use_linear_loss:
                 # reference :301-305 reduces to a scalar; spread per-graph

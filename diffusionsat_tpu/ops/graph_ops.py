@@ -32,14 +32,17 @@ def lit_to_clause(batch: SatBatch, lit_features: jnp.ndarray) -> jnp.ndarray:
 
 
 def clause_to_lit(batch: SatBatch, clause_features: jnp.ndarray,
-                  axis_name: str | None = None) -> jnp.ndarray:
+                  axis_name: str | None = None,
+                  halo: dict | None = None) -> jnp.ndarray:
     """Aggregate clause features into literals: out[lit] = sum_{c ∋ lit} x[c].
 
     `clause_features`: [C, F]. Returns [2V, F]. Equivalent to the reference
     `tf.sparse.sparse_dense_matmul(adj_matrix, ...)` (model/query_sat.py:269).
     With `axis_name` (clause-sharded execution under shard_map) each shard
-    contributes a partial literal aggregate, combined with one psum — the
-    single per-direction collective of the graph-partition design.
+    contributes a partial literal aggregate, combined either with one full
+    psum, or — when a `halo` plan view is supplied — by exchanging only
+    the boundary rows shared between shards (parallel/halo.py, comm
+    proportional to the partition cut instead of 2V).
     """
     gathered = jnp.take(clause_features, batch.edge_clause_l, axis=0)
     gathered = gathered * batch.edge_mask_l[:, None]
@@ -47,7 +50,12 @@ def clause_to_lit(batch: SatBatch, clause_features: jnp.ndarray,
                               num_segments=2 * batch.V,
                               indices_are_sorted=axis_name is None)
     if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
+        if halo is not None:
+            from diffusionsat_tpu.parallel.halo import halo_exchange
+            out = halo_exchange(out, halo["send_idx"], halo["send_mask"],
+                                axis_name)
+        else:
+            out = jax.lax.psum(out, axis_name)
     return out
 
 

@@ -131,9 +131,9 @@ def segsum_pallas(values: jnp.ndarray, plan: SegsumPlan) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TE,), lambda t, base: (t,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # zero init (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # zero init (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((W, F), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -228,6 +228,9 @@ def build_batch_plans(batch, tile_edges: int = 1024, window: int = 512,
                             num_segments=2 * batch.V,
                             tile_edges=tile_edges, window=window)
     if pc is None or plc is None:
+        import sys
+        print("pallas_segsum: degenerate tiling, falling back to XLA "
+              "segment_sum", file=sys.stderr)
         return None
     a = _pad_plan(pc, np.asarray(batch.edge_lit_c), pad_tiles)
     b = _pad_plan(plc, np.asarray(batch.edge_clause_l), pad_tiles)

@@ -24,27 +24,58 @@ from diffusionsat_tpu.models.query_sat import QuerySATConfig, query_sat_apply
 from diffusionsat_tpu.train.loop import TrainState
 
 
-def stack_batches(batches: list[SatBatch]) -> SatBatch:
+def stack_batches(batches: list) -> Any:
     """Stack D same-bucket batches along a new leading device axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 
+def stacked_stream(batches: list, n_devices: int, seed: int = 0):
+    """Infinite stream of device-stacked groups of `n_devices` same-shape
+    batches (same-shape = same static dims, so one XLA program per shape
+    group). The DP analog of PackedBatches.repeat_shuffled."""
+    import random as _random
+
+    from collections import defaultdict
+
+    by_shape = defaultdict(list)
+    for b in batches:
+        leaves = jax.tree.leaves(b)
+        key = tuple(getattr(l, "shape", ()) for l in leaves)
+        by_shape[key].append(b)
+    groups = []
+    for same in by_shape.values():
+        for i in range(0, len(same) - n_devices + 1, n_devices):
+            groups.append(stack_batches(same[i:i + n_devices]))
+    if not groups:
+        raise ValueError(
+            f"no shape group has >= {n_devices} batches to stack")
+    rng = _random.Random(seed)
+    while True:
+        order = list(range(len(groups)))
+        rng.shuffle(order)
+        for i in order:
+            yield groups[i]
+
+
 def make_dp_train_step(cfg: QuerySATConfig,
                        optimizer: optax.GradientTransformation,
-                       mesh: Mesh) -> Callable:
+                       mesh: Mesh,
+                       apply_fn: Callable = query_sat_apply) -> Callable:
     """Build the jitted DP train step.
 
     Takes (state, stacked_batch [D, ...]) with D == mesh 'data' axis size;
     returns (state, metrics). Gradients are averaged with psum over 'data';
     the optimizer update runs identically on every device, keeping params
-    replicated without a broadcast.
+    replicated without a broadcast. `apply_fn` selects the execution
+    layout (flat query_sat_apply or dense query_sat_dense_apply — any
+    model with the standard apply contract works).
     """
     n_data = mesh.shape["data"]
 
     batch_spec = P("data")
     repl = P()
 
-    def per_device_step(params, opt_state, step, key, batch: SatBatch):
+    def per_device_step(params, opt_state, step, key, batch):
         # shard_map passes block-local views: leading dim of the batch is 1
         batch = jax.tree.map(lambda x: x[0], batch)
         dev_idx = jax.lax.axis_index("data")
@@ -52,7 +83,7 @@ def make_dp_train_step(cfg: QuerySATConfig,
                                      step)
 
         def loss_fn(p):
-            _, loss, steps, _ = query_sat_apply(
+            _, loss, steps, _ = apply_fn(
                 p, cfg, batch, dev_key, training=True,
                 labels=batch.solutions)
             return loss, steps
@@ -74,7 +105,7 @@ def make_dp_train_step(cfg: QuerySATConfig,
         check_vma=False)
 
     @jax.jit
-    def train_step(state: TrainState, stacked_batch: SatBatch):
+    def train_step(state: TrainState, stacked_batch):
         key, subkey = jax.random.split(state.key)
         params, opt_state, loss, steps, gradnorm = sharded(
             state.params, state.opt_state, state.step, subkey, stacked_batch)

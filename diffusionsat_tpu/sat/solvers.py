@@ -7,7 +7,7 @@ and the per-binary wrappers) with one in-process native library. The public
 
 The uniform sampler (reference `satsolvers/Unigen.py`) is implemented by
 exact model enumeration + uniform choice when the model count fits a budget,
-falling back to random-polarity CDCL samples otherwise.
+and XOR-hash near-uniform cell sampling (sat/xor_hash.py) otherwise.
 """
 
 from __future__ import annotations
@@ -184,17 +184,27 @@ class UniformSampler(SatSolver):
     def __init__(self, max_enumerate: int = 200_000, seed: int = 0):
         self.max_enumerate = max_enumerate
         self.seed = seed
+        # formula-static enumeration cache: repeated samples() calls on
+        # the same DIMACS (the uniformity benchmark pattern) enumerate once
+        self._enum_cache: dict[int, tuple[np.ndarray, bool]] = {}
+        self._rng = np.random.default_rng(seed)
 
     def multiple_samples(self, dimacs: str, n_samples: int
                          ) -> tuple[bool, list[list[int]]]:
         cnf = CNF.from_string(dimacs)
         clauses, n_vars = cnf.clauses(), cnf.number_of_vars()
-        models, complete = enumerate_models(clauses, n_vars,
-                                            max_models=self.max_enumerate,
-                                            seed=self.seed)
+        key = hash(dimacs)
+        if key in self._enum_cache:
+            models, complete = self._enum_cache[key]
+        else:
+            models, complete = enumerate_models(
+                clauses, n_vars, max_models=self.max_enumerate,
+                seed=self.seed)
+            if len(self._enum_cache) < 64:
+                self._enum_cache[key] = (models, complete)
         if len(models) == 0:
             return False, []
-        rng = np.random.default_rng(self.seed)
+        rng = self._rng  # persistent: successive calls draw fresh samples
         if complete:
             rows = rng.integers(0, len(models), size=n_samples)
             picked = models[rows]

@@ -20,12 +20,15 @@ class ExactUniformSampler:
         self.cnf = cnf
         self.seed = seed
         self.max_enumerate = max_enumerate
+        # the model set is formula-static: enumerate once, reuse across
+        # samples() calls (was re-enumerated per call)
+        self._sampler = UniformSampler(max_enumerate=max_enumerate,
+                                       seed=seed)
+        self._dimacs = cnf.to_string()
 
     def samples(self, n_samples: int) -> dict[int, int]:
-        sampler = UniformSampler(max_enumerate=self.max_enumerate,
-                                 seed=self.seed)
-        is_sat, rows = sampler.multiple_samples(self.cnf.to_string(),
-                                                n_samples)
+        is_sat, rows = self._sampler.multiple_samples(self._dimacs,
+                                                      n_samples)
         counts: dict[int, int] = {}
         if not is_sat:
             return counts

@@ -3,8 +3,10 @@
 Analog of reference `hyperopt.py:1-196` (Optuna TPE over lr/beta1 and the
 architecture dims suggested inside the model ctor,
 `model/query_sat.py:101-112`). Optuna is not available in this
-environment, so the search is self-contained: random sampling over the
-same space, each trial scored by held-out solved fraction.
+environment, so the adaptive search is self-contained: a TPE sampler
+(train/tpe.py, the same algorithm family as optuna's default) over the
+reference's space, each trial scored by held-out solved fraction.
+`--sampler random` recovers the plain random-search baseline.
 
     python hyperopt.py --trials 20 --steps_per_trial 2000
 """
@@ -13,13 +15,20 @@ from __future__ import annotations
 
 import argparse
 import json
-import random
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 
 from diffusionsat_tpu.data.datasets import SatDataset
+from diffusionsat_tpu.train.tpe import (
+    Choice,
+    IntUniform,
+    LogUniform,
+    RandomSampler,
+    TPESampler,
+    Uniform,
+)
 from diffusionsat_tpu.data.generators import (
     DiffusionSatInstances,
     SAT3Instances,
@@ -36,27 +45,19 @@ from diffusionsat_tpu.train.metrics import SATAccuracy
 
 # the reference's search space (model/query_sat.py:101-112, hyperopt.py:57-66)
 SPACE = {
-    "learning_rate": lambda r: 10 ** r.uniform(-4.3, -2.3),
-    "beta_1": lambda r: r.uniform(0.5, 0.95),
-    "variables_update_layers": lambda r: r.randint(2, 4),
-    "output_layers": lambda r: r.randint(2, 4),
-    "query_layers": lambda r: r.randint(2, 4),
-    "clauses_update_layers": lambda r: r.randint(2, 4),
-    "feature_maps": lambda r: r.choice([16, 32, 64]),
-    "query_maps": lambda r: r.choice([16, 32, 64]),
-    "update_scale": lambda r: r.choice([round(0.2 * i, 1)
-                                        for i in range(1, 11)]),
-    "output_scale": lambda r: r.choice([round(0.2 * i, 1)
-                                        for i in range(1, 11)]),
-    "clauses_scale": lambda r: r.choice([round(0.2 * i, 1)
-                                        for i in range(1, 11)]),
-    "query_scale": lambda r: r.choice([round(0.2 * i, 1)
-                                       for i in range(1, 11)]),
+    "learning_rate": LogUniform(10 ** -4.3, 10 ** -2.3),
+    "beta_1": Uniform(0.5, 0.95),
+    "variables_update_layers": IntUniform(2, 4),
+    "output_layers": IntUniform(2, 4),
+    "query_layers": IntUniform(2, 4),
+    "clauses_update_layers": IntUniform(2, 4),
+    "feature_maps": Choice([16, 32, 64]),
+    "query_maps": Choice([16, 32, 64]),
+    "update_scale": Choice([round(0.2 * i, 1) for i in range(1, 11)]),
+    "output_scale": Choice([round(0.2 * i, 1) for i in range(1, 11)]),
+    "clauses_scale": Choice([round(0.2 * i, 1) for i in range(1, 11)]),
+    "query_scale": Choice([round(0.2 * i, 1) for i in range(1, 11)]),
 }
-
-
-def sample_params(rng: random.Random) -> dict:
-    return {k: fn(rng) for k, fn in SPACE.items()}
 
 
 def run_trial(hp: dict, dataset: SatDataset, steps: int, seed: int) -> float:
@@ -92,10 +93,12 @@ def main(argv=None):
     p.add_argument("--train_size", type=int, default=5000)
     p.add_argument("--max_nodes_per_batch", type=int, default=6000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", default="tpe", choices=["tpe", "random"])
     p.add_argument("--out", default="hyperopt_results.jsonl")
     args = p.parse_args(argv)
 
-    rng = random.Random(args.seed)
+    sampler = TPESampler(SPACE, seed=args.seed) if args.sampler == "tpe" \
+        else RandomSampler(SPACE, seed=args.seed)
     inst = DiffusionSatInstances(
         SAT3Instances(min_vars=args.min_vars, max_vars=args.max_vars,
                       train_size=args.train_size, test_size=500,
@@ -105,17 +108,16 @@ def main(argv=None):
                          BucketSpec.for_node_budget(args.max_nodes_per_batch),
                          name=f"hyperopt_{args.min_vars}_{args.max_vars}")
 
-    best = None
     for trial in range(args.trials):
-        hp = sample_params(rng)
+        hp = sampler.suggest()
         acc = run_trial(hp, dataset, args.steps_per_trial, seed=trial)
+        sampler.observe(hp, acc)
         rec = {"trial": trial, "accuracy": acc, **hp}
         print(rec)
         with Path(args.out).open("a") as f:
             f.write(json.dumps(rec) + "\n")
-        if best is None or acc > best[0]:
-            best = (acc, hp)
-    print(f"best: acc={best[0]:.4f} {best[1]}")
+    best_hp, best_acc = sampler.best
+    print(f"best: acc={best_acc:.4f} {best_hp}")
 
 
 if __name__ == "__main__":

@@ -78,6 +78,9 @@ def build_instances(cfg):
 def main(argv=None):
     flags, rest = split_eval_flags(argv or sys.argv[1:])
     cfg = parse_config(rest)
+    if cfg.eager:  # sanitizer mode (reference --eager, config.py:110)
+        jax.config.update("jax_disable_jit", True)
+        jax.config.update("jax_debug_nans", True)
 
     model_cfg_cls, model_init, model_apply = MODEL_REGISTRY.resolve(cfg.model)
     model_kwargs = {}
@@ -173,7 +176,7 @@ def main(argv=None):
         evaluate_batch_generalization(
             state.params, model_cfg, make_ds_budget,
             run_dir / "gen_batch_size_results.txt",
-            sizes=range(3000, 24000, 3000))
+            sizes=range(3000, 24000, 1000))  # reference main.py:197
 
     if flags["evaluate_round_gen"]:
         def cfg_for_rounds(r):
@@ -182,7 +185,7 @@ def main(argv=None):
         evaluate_round_generalization(
             state.params, cfg_for_rounds, test_data,
             run_dir / "gen_steps_result.txt",
-            rounds_list=[16, 32, 64, 128])
+            rounds_list=[16, 32, 64, 128, 256, 512, 1024, 2048, 4096])  # reference main.py:221
 
     return state
 

@@ -48,5 +48,8 @@ def test_closed_form_matches_autodiff():
 
     g1 = jax.grad(outer_auto)(q)
     g2 = jax.grad(outer_closed)(q)
+    # the two programs are mathematically equal but structurally different
+    # (nested autodiff vs first-order closed form), so summation order
+    # differs: compare with an fp-noise absolute floor
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-3,
-                               atol=1e-6)
+                               atol=5e-5)
