@@ -10,6 +10,7 @@ and checkpointing. Run:
 from __future__ import annotations
 
 import sys
+from dataclasses import asdict as dataclasses_asdict
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +91,11 @@ def main(argv=None):
 
     run_dir = cfg.run_dir()
     run_dir.mkdir(parents=True, exist_ok=True)
+    # persist the exact run configuration (reference hparams logging,
+    # utils/parameters_log.py:1-10)
+    import json as _json
+    (run_dir / "config.json").write_text(
+        _json.dumps(dataclasses_asdict(cfg), indent=1, default=str))
     ckpt_dir = cfg.restore if cfg.restore else run_dir / "ckpt"
     mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg.ckpt_count)
     restored = mgr.restore(state)
@@ -188,12 +194,18 @@ def main(argv=None):
             vals["diag_error"] = str(e)
         return vals
 
+    # TensorBoard sink next to the JSONL (reference tf.summary wiring,
+    # diffusion_training.py:297-339 + utils/parameters_log.py)
+    from diffusionsat_tpu.train.tb import TBWriter
+    tb = TBWriter(run_dir / "tb")
+    tb.hparams(dataclasses_asdict(cfg))
+
     state = train(
         state, train_step, data_stream,
         steps=cfg.train_steps - int(state.step),
         eval_fn=eval_fn, eval_every=cfg.eval_every,
         checkpoint_fn=mgr.save, ckpt_every=cfg.ckpt_every,
-        log_file=run_dir / "train_log.jsonl")
+        log_file=run_dir / "train_log.jsonl", tb_writer=tb)
     mgr.save(state)
     final = eval_fn(state)
     print(f"[final] {final}")

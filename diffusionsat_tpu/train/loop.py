@@ -255,8 +255,10 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
           eval_every: int = 1000,
           checkpoint_fn: Callable[[TrainState], None] | None = None,
           ckpt_every: int = 1000,
-          log_file: str | Path | None = None) -> TrainState:
-    """Driver loop (reference diffusion_training.py:277-350)."""
+          log_file: str | Path | None = None,
+          tb_writer=None) -> TrainState:
+    """Driver loop (reference diffusion_training.py:277-350). `tb_writer`
+    (train/tb.TBWriter) mirrors the JSONL records into TensorBoard."""
     import json
 
     t0 = time.time()
@@ -281,6 +283,8 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
             if log_file is not None:
                 with Path(log_file).open("a") as f:
                     f.write(json.dumps(msg) + "\n")
+            if tb_writer is not None:
+                tb_writer.scalars(step, msg)
             window_losses = []
         if eval_fn is not None and (i + 1) % eval_every == 0:
             vals = eval_fn(state)
@@ -289,6 +293,9 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
             if log_file is not None:
                 with Path(log_file).open("a") as f:
                     f.write(json.dumps({"step": eval_step, **vals}) + "\n")
+            if tb_writer is not None:
+                tb_writer.scalars(eval_step, vals)
+                tb_writer.flush()
         if checkpoint_fn is not None and (i + 1) % ckpt_every == 0:
             checkpoint_fn(state)
     return state
