@@ -134,22 +134,21 @@ def _search_m(clauses, n_vars, pivot, rng, m_start, density, seed):
     (m, None) when no m isolates a non-empty small cell."""
     m = max(1, min(m_start, n_vars - 1))
     xors = random_xors(rng, n_vars, n_vars, density)
-    last_good = None
+    prev_dir = 0
     for _ in range(2 * n_vars + 4):
         cell = _cell_models(clauses, n_vars, xors[:m], pivot + 1, seed)
         if len(cell) == 0:
-            if m <= 1:
+            if m <= 1 or prev_dir > 0:  # oscillating: no m isolates a cell
                 return m, None
             m -= 1
+            prev_dir = -1
         elif len(cell) > pivot:
-            if m >= n_vars:
+            if m >= n_vars or prev_dir < 0:
                 return m, None
             m += 1
+            prev_dir = 1
         else:
             return m, cell
-        if last_good is not None and last_good == m:
-            break
-        last_good = None
     return m, None
 
 

@@ -1,0 +1,169 @@
+"""Flagship uniformity benchmark: diffusion sampler vs exact-uniform vs
+WalkSAT over a suite of benchmark formulas.
+
+The repeatable driver behind `benchmarks_flagship.jsonl` (the per-formula
+analog is diffusion_evaluation.py; reference `diffusion_evaluation.py:
+41-112` + offline `diffusion_metrics.py:130-159`): generates hard 3-SAT
+benchmark formulas with moderate solution counts, draws k samples per
+solution from each sampler, and reports per-formula and aggregate
+diversity (distinct/true solutions), chi-square uniformity p-values, and
+count-histogram cross-entropy.
+
+    python uniformity_benchmark.py --model_ckpt runs_flagship/<run>/ckpt \
+        --n_formulas 8 --k 10 --out benchmarks_flagship.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from diffusionsat_tpu.sat.cnf import CNF, VariableAssignment
+from diffusionsat_tpu.sat.solvers import enumerate_models
+from diffusionsat_tpu.uniformity.benchmarks_file import BenchmarksFile
+from diffusionsat_tpu.uniformity.samplers import (
+    ExactUniformSampler,
+    WalkSatSampler,
+)
+from diffusionsat_tpu.utils.chi_square import chi_square_likelihood
+
+
+def gen_benchmark_formulas(n_formulas: int, seed: int = 0,
+                           min_vars: int = 10, max_vars: int = 16,
+                           min_solutions: int = 20,
+                           max_solutions: int = 200):
+    """Random threshold 3-SAT filtered to a moderate solution count
+    (matches the round-1 benchmark suite: 11-14 vars, 27-63 solutions)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < n_formulas:
+        n = int(rng.integers(min_vars, max_vars + 1))
+        m = int(4.258 * n + 58.26 * n ** (-2.0 / 3.0))
+        clauses = [[int(v) if rng.random() < 0.5 else -int(v)
+                    for v in (rng.choice(n, size=3, replace=False) + 1)]
+                   for _ in range(m)]
+        models, complete = enumerate_models(clauses, n, max_models=10_000)
+        if complete and min_solutions <= len(models) <= max_solutions:
+            out.append((n, clauses, models))
+    return out
+
+
+def count_stats(counts: dict, models, cnf, n_samples: int) -> dict:
+    S = len(models)
+    keyed_ideal = {}
+    for row in models:
+        asgn = VariableAssignment(cnf.number_of_vars(), cnf.clauses())
+        asgn.assign_all_from_bit_list([int(b) for b in row])
+        keyed_ideal[int(asgn)] = n_samples / max(S, 1)
+    pval = chi_square_likelihood(counts, keyed_ideal)
+    # count-histogram cross-entropy vs uniform (reference
+    # diffusion_metrics.py:130-159)
+    total = max(sum(counts.values()), 1)
+    ce = -sum((c / total) * np.log(max(c / total, 1e-12))
+              for c in counts.values())
+    return {"distinct": len(counts), "true_solutions": S,
+            "diversity": round(len(counts) / max(S, 1), 4),
+            "chi2_p": float(pval),
+            "count_entropy": round(float(ce), 4),
+            "uniform_entropy": round(float(np.log(max(S, 1))), 4)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_ckpt", default=None)
+    p.add_argument("--n_formulas", type=int, default=8)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--diffusion_steps", type=int, default=32)
+    p.add_argument("--test_rounds", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="benchmarks_flagship.jsonl")
+    p.add_argument("--summary_out", default=None)
+    args = p.parse_args(argv)
+
+    formulas = gen_benchmark_formulas(args.n_formulas, seed=args.seed)
+    print(f"{len(formulas)} benchmark formulas: "
+          f"{[(n, len(m)) for n, _, m in formulas]}", flush=True)
+
+    diffusion_params = None
+    if args.model_ckpt:
+        from diffusionsat_tpu.models.query_sat import (
+            QuerySATConfig, query_sat_init)
+        from diffusionsat_tpu.train.adabelief import adabelief
+        from diffusionsat_tpu.train.checkpoint import CheckpointManager
+        from diffusionsat_tpu.train.loop import TrainState
+
+        cfg = QuerySATConfig(test_rounds=args.test_rounds)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = query_sat_init(jax.random.key(0), cfg)
+            opt = adabelief()
+            template = TrainState(params=params, opt_state=opt.init(params),
+                                  step=jnp.zeros((), jnp.int32),
+                                  key=jax.random.key(0))
+        restored = CheckpointManager(args.model_ckpt).restore(template)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {args.model_ckpt}")
+        print(f"restored step {int(restored.step)}", flush=True)
+        diffusion_params = restored.params
+
+    store = BenchmarksFile(args.out)
+    agg: dict[str, list] = {}
+    for fi, (n, clauses, models) in enumerate(formulas):
+        cnf = CNF(n_vars=n, clauses=clauses)
+        S = len(models)
+        n_samples = args.k * S
+        record = {"formula": fi, "n_vars": n, "n_clauses": len(clauses),
+                  "n_solutions": S, "n_samples": n_samples}
+
+        samplers = [("uniform", ExactUniformSampler(cnf, seed=1 + fi)),
+                    ("walksat", WalkSatSampler(cnf, seed=2 + fi))]
+        if diffusion_params is not None:
+            from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
+            samplers.append(("diffusion", DiffusionSampler(
+                diffusion_params, cfg, cnf,
+                diffusion_steps=args.diffusion_steps,
+                test_rounds=args.test_rounds, seed=3 + fi)))
+
+        for name, sampler in samplers:
+            t0 = time.perf_counter()
+            counts = sampler.samples(n_samples)
+            elapsed = time.perf_counter() - t0
+            stats = count_stats(counts, models, cnf, n_samples)
+            stats["elapsed_s"] = round(elapsed, 2)
+            stats["ms_per_distinct"] = round(
+                1000 * elapsed / max(len(counts), 1), 2)
+            if name == "diffusion":
+                stats["success_rate"] = getattr(sampler, "success_rate",
+                                                None)
+            record[name] = {"counts": {str(k): v
+                                       for k, v in counts.items()},
+                            **stats}
+            agg.setdefault(name, []).append(stats)
+            print(f"[formula {fi}] {name}: {stats}", flush=True)
+        store.write(clauses, record)
+
+    summary = {}
+    for name, rows in agg.items():
+        summary[name] = {
+            "mean_diversity": round(float(np.mean(
+                [r["diversity"] for r in rows])), 4),
+            "median_chi2_p": round(float(np.median(
+                [r["chi2_p"] for r in rows])), 6),
+            "mean_entropy_gap": round(float(np.mean(
+                [r["uniform_entropy"] - r["count_entropy"]
+                 for r in rows])), 4),
+        }
+    print(json.dumps({"summary": summary}, indent=1))
+    if args.summary_out:
+        from pathlib import Path
+        Path(args.summary_out).write_text(json.dumps(summary, indent=1))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
