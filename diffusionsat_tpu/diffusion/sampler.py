@@ -103,6 +103,74 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
     return jax.jit(chain)
 
 
+def make_dense_diffusion_chain(cfg: QuerySATConfig,
+                               diffusion_steps: int = 32,
+                               use_baseline_sampling: bool = True,
+                               self_supervised: bool = False,
+                               test_rounds: int = 32):
+    """Dense-block variant of the reverse chain (graph/dense_batch.py):
+    the sampler batch is G copies of one small formula, so every model
+    call runs on the MXU fast path. Same semantics as
+    make_diffusion_chain; shapes are [G, Vg, ...]."""
+    from diffusionsat_tpu.models.query_sat_dense import query_sat_dense_apply
+    from diffusionsat_tpu.ops import dense_ops
+
+    N = diffusion_steps
+
+    def chain(params, batch, key: jax.Array):
+        G, Vg = batch.G, batch.Vg
+
+        def body(t, carry):
+            x, fixed_mask, fixed_bits, fixed_step, key, prev_pred = carry
+            key, k_round, k_model = jax.random.split(key, 3)
+            noise_scale = 1.0 - t.astype(jnp.float32) / N
+
+            x_noisy = randomized_rounding(k_round, x)
+            if use_baseline_sampling:
+                x = x_noisy
+
+            denoised = prev_pred[..., None] if self_supervised else None
+            logits, _, _, _ = query_sat_dense_apply(
+                params, cfg, batch, k_model, training=False,
+                noise_scale=noise_scale, noisy_num=x_noisy,
+                denoised_num=denoised, rounds=test_rounds, early_exit=True)
+            predictions = jax.nn.sigmoid(logits[..., 0])       # [G, Vg]
+
+            x = reverse_distribution_step_theoretic(
+                x, jnp.stack([1 - predictions, predictions], axis=-1),
+                noise_scale, 1.0 / N)
+
+            pred_bits = jnp.round(predictions)
+            sat_g = dense_ops.is_graph_sat(logits, batch)[:, 0]   # [G]
+            sat_v = jnp.broadcast_to(sat_g[:, None], (G, Vg))
+            newly = (sat_v > 0.5) & (fixed_mask < 0.5)
+            fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
+            fixed_step = jnp.where(newly, t, fixed_step)
+            fixed_mask = jnp.maximum(fixed_mask, sat_v)
+
+            return (x, fixed_mask, fixed_bits, fixed_step, key, predictions)
+
+        init = (
+            jnp.full((G, Vg, 2), 0.5),
+            jnp.zeros((G, Vg)),
+            jnp.zeros((G, Vg)),
+            jnp.full((G, Vg), -1, jnp.int32),
+            key,
+            jnp.full((G, Vg), 0.5),
+        )
+        x, fixed_mask, fixed_bits, fixed_step, key, predictions = \
+            jax.lax.fori_loop(0, N, body, init)
+
+        final_bits = jnp.where(fixed_mask > 0.5, fixed_bits,
+                               jnp.round(predictions)).astype(jnp.int32)
+        final_logits = (final_bits.astype(jnp.float32) * 2 - 1
+                        )[..., None] * 10.0
+        solved = dense_ops.is_graph_sat(final_logits, batch)[:, 0]
+        return final_bits, solved, fixed_step
+
+    return jax.jit(chain)
+
+
 class DiffusionSampler:
     """Sample SAT solutions of one formula via reverse diffusion
     (reference `satuniformity/DiffusionSampler.py:195-311`).
@@ -118,17 +186,24 @@ class DiffusionSampler:
                  diffusion_steps: int = 32, test_rounds: int = 32,
                  graphs_per_batch: int | None = None,
                  use_baseline_sampling: bool = True,
-                 self_supervised: bool = False, seed: int = 0):
+                 self_supervised: bool = False, seed: int = 0,
+                 dense: bool | None = None):
         self.params = params
         self.cfg = cfg
         self.cnf = cnf
         self.n_vars = cnf.number_of_vars()
         self.clauses = cnf.clauses()
         n_cells = sum(len(c) for c in self.clauses)
+        # dense block execution when the formula is small (the benchmark
+        # regime); the flat edge-list chain covers everything else
+        if dense is None:
+            dense = self.n_vars <= 128 and len(self.clauses) <= 576
+        self.dense = dense
         if graphs_per_batch is None:
+            budget = 4000 if dense else 2000
             graphs_per_batch = max(1, min(
-                128,
-                2000 // max(self.n_vars, 1),
+                256 if dense else 128,
+                budget // max(self.n_vars, 1),
             ))
         if bucket is None:
             g = graphs_per_batch
@@ -140,17 +215,27 @@ class DiffusionSampler:
         self.graphs_per_batch = min(graphs_per_batch, bucket.max_graphs)
         self.bucket = bucket
         self.key = jax.random.key(seed)
-        self.chain = make_diffusion_chain(
-            cfg, diffusion_steps=diffusion_steps,
-            use_baseline_sampling=use_baseline_sampling,
-            self_supervised=self_supervised, test_rounds=test_rounds)
         formulas = [(self.n_vars, self.clauses)] * self.graphs_per_batch
         sols = [[0] * self.n_vars] * self.graphs_per_batch
-        self.batch = build_batch(formulas, self.bucket, solutions=sols)
+        flat = build_batch(formulas, self.bucket, solutions=sols)
         self.plans = None
-        if jax.default_backend() == "tpu":
-            from diffusionsat_tpu.ops.pallas_segsum import build_batch_plans
-            self.plans = build_batch_plans(self.batch)
+        if self.dense:
+            from diffusionsat_tpu.graph.dense_batch import densify_batches
+            self.batch = densify_batches([flat])[0]
+            self.chain = make_dense_diffusion_chain(
+                cfg, diffusion_steps=diffusion_steps,
+                use_baseline_sampling=use_baseline_sampling,
+                self_supervised=self_supervised, test_rounds=test_rounds)
+        else:
+            self.batch = flat
+            self.chain = make_diffusion_chain(
+                cfg, diffusion_steps=diffusion_steps,
+                use_baseline_sampling=use_baseline_sampling,
+                self_supervised=self_supervised, test_rounds=test_rounds)
+            if jax.default_backend() == "tpu":
+                from diffusionsat_tpu.ops.pallas_segsum import (
+                    build_batch_plans)
+                self.plans = build_batch_plans(self.batch)
 
     @classmethod
     def from_checkpoint(cls, model_path: str, dimacs_filename: str,
@@ -193,13 +278,20 @@ class DiffusionSampler:
                 print("too many unsat samples; stopping diffusion")
                 break
             self.key, subkey = jax.random.split(self.key)
-            bits, solved, _ = self.chain(self.params, self.batch, subkey,
-                                         self.plans)
+            if self.dense:
+                bits, solved, _ = self.chain(self.params, self.batch,
+                                             subkey)
+            else:
+                bits, solved, _ = self.chain(self.params, self.batch,
+                                             subkey, self.plans)
             bits = np.asarray(bits)
             solved = np.asarray(solved)
             for g in range(self.graphs_per_batch):
-                lo = g * self.n_vars
-                row = bits[lo:lo + self.n_vars]
+                if self.dense:
+                    row = bits[g, :self.n_vars]
+                else:
+                    lo = g * self.n_vars
+                    row = bits[lo:lo + self.n_vars]
                 total += 1
                 asgn = VariableAssignment(self.n_vars, self.clauses)
                 asgn.assign_all_from_bit_list(row.tolist())

@@ -48,3 +48,22 @@ def test_sampler_untrained_model_runs_and_counts_only_sat():
         asgn = VariableAssignment(3, cnf.clauses())
         asgn.assign_all_from_int(sol_int)
         assert asgn.satisfiable()
+
+
+def test_sampler_flat_and_dense_paths_both_sample_sat():
+    # same formula through both execution layouts; each must emit only
+    # satisfying assignments (distributions differ: RNG shapes differ)
+    cnf = CNF(n_vars=4, clauses=[[1, 2], [-1, 3], [2, 4], [-3, -4, 1]])
+    cfg = QuerySATConfig(feature_maps=8, query_maps=8, train_rounds=2,
+                         test_rounds=2)
+    params = query_sat_init(jax.random.key(1), cfg)
+    for dense in (False, True):
+        sampler = DiffusionSampler(params, cfg, cnf, diffusion_steps=3,
+                                   test_rounds=2, graphs_per_batch=6,
+                                   seed=2, dense=dense)
+        assert sampler.dense == dense
+        counts = sampler.samples(4, max_batches=3)
+        for sol_int in counts:
+            asgn = VariableAssignment(4, cnf.clauses())
+            asgn.assign_all_from_int(sol_int)
+            assert asgn.satisfiable()
