@@ -32,41 +32,10 @@ import jax
 import jax.numpy as jnp
 
 
-def build_workload(rng, bucket, budget, min_vars=3, max_vars=30):
-    """Random threshold 3-SAT packed to the reference node budget
-    (2V + C <= budget), matching the flagship training distribution
-    (reference diffusion_training.py:76-79)."""
-    from diffusionsat_tpu.graph.batch import build_batch
-
-    formulas, sols = [], []
-    v_tot = c_tot = e_tot = 0
-    while True:
-        n = int(rng.integers(min_vars, max_vars + 1))
-        m = int(4.258 * n + 58.26 * n ** (-2.0 / 3.0))
-        clauses = []
-        for _ in range(m):
-            vs = rng.choice(n, size=3, replace=False) + 1
-            clauses.append([int(v) if rng.random() < 0.5 else -int(v)
-                            for v in vs])
-        if (2 * (v_tot + n) + c_tot + m > budget
-                or v_tot + n > bucket.max_vars
-                or c_tot + m > bucket.max_clauses
-                or e_tot + 3 * m > bucket.max_edges
-                or len(formulas) >= bucket.max_graphs):
-            break
-        formulas.append((n, clauses))
-        # benchmark labels need not be true solutions
-        sols.append(rng.integers(0, 2, size=n).tolist())
-        v_tot += n
-        c_tot += m
-        e_tot += 3 * m
-    batch = build_batch(formulas, bucket, solutions=sols)
-    return batch, e_tot
-
-
 def main():
     import os
 
+    from diffusionsat_tpu.data.bench_workloads import threshold_3sat_batch
     from diffusionsat_tpu.graph.batch import BucketSpec
     from diffusionsat_tpu.graph.dense_batch import densify_batches
     from diffusionsat_tpu.models.query_sat import (
@@ -82,7 +51,7 @@ def main():
     rng = np.random.default_rng(0)
     # reference workload: max_nodes_per_batch=20k (config.py:35)
     bucket = BucketSpec.for_node_budget(20_000, max_graphs=512)
-    batch, real_edges = build_workload(rng, bucket, budget=20_000)
+    batch, real_edges = threshold_3sat_batch(rng, 20_000, bucket=bucket)
 
     cfg = QuerySATConfig()  # full-size: 128 feature/query maps, 32 rounds
     params = query_sat_init(jax.random.key(0), cfg)

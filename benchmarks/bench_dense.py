@@ -19,38 +19,6 @@ import jax
 import jax.numpy as jnp
 
 
-def build_flat_workload(rng, budget=20_000, min_vars=3, max_vars=30):
-    """Random threshold 3-SAT packed to the node budget — matches the
-    flagship training distribution (reference diffusion_training.py:76-79,
-    config.py:35)."""
-    from diffusionsat_tpu.graph.batch import BucketSpec, build_batch
-
-    bucket = BucketSpec.for_node_budget(budget, max_graphs=512)
-    formulas, sols = [], []
-    v_tot = c_tot = e_tot = 0
-    while True:
-        n = int(rng.integers(min_vars, max_vars + 1))
-        m = int(4.258 * n + 58.26 * n ** (-2.0 / 3.0))
-        clauses = []
-        for _ in range(m):
-            vs = rng.choice(n, size=3, replace=False) + 1
-            clauses.append([int(v) if rng.random() < 0.5 else -int(v)
-                            for v in vs])
-        if (2 * (v_tot + n) + c_tot + m > budget
-                or v_tot + n > bucket.max_vars
-                or c_tot + m > bucket.max_clauses
-                or e_tot + 3 * m > bucket.max_edges
-                or len(formulas) >= bucket.max_graphs):
-            break
-        formulas.append((n, clauses))
-        sols.append(rng.integers(0, 2, size=n).tolist())
-        v_tot += n
-        c_tot += m
-        e_tot += 3 * m
-    batch = build_batch(formulas, bucket, solutions=sols)
-    return batch, e_tot
-
-
 def timeit(step, state, batch, iters=15):
     state, out = step(state, batch)
     float(out["loss"])  # host fetch = sync through the tunnel
@@ -74,6 +42,7 @@ def main():
     if not (args.flat or args.dense):
         args.dense = True
 
+    from diffusionsat_tpu.data.bench_workloads import threshold_3sat_batch
     from diffusionsat_tpu.graph.dense_batch import densify_batches
     from diffusionsat_tpu.models.query_sat import (
         QuerySATConfig, query_sat_init)
@@ -89,7 +58,7 @@ def main():
         "default": jax.lax.Precision.DEFAULT}[args.precision]
 
     rng = np.random.default_rng(0)
-    flat, edges = build_flat_workload(rng, args.budget)
+    flat, edges = threshold_3sat_batch(rng, args.budget)
     cfg = QuerySATConfig(compute_dtype=jnp.bfloat16 if args.bf16_mlp
                          else None)
     params = query_sat_init(jax.random.key(0), cfg)

@@ -50,30 +50,6 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def build_batch_workload(rng, budget, min_vars=8, max_vars=24):
-    from diffusionsat_tpu.graph.batch import BucketSpec, build_batch
-
-    bucket = BucketSpec.for_node_budget(budget, max_graphs=256)
-    formulas, sols = [], []
-    v = c = e = 0
-    while True:
-        n = int(rng.integers(min_vars, max_vars + 1))
-        m = int(4.258 * n)
-        clauses = [[int(x) if rng.random() < 0.5 else -int(x)
-                    for x in (rng.choice(n, size=3, replace=False) + 1)]
-                   for _ in range(m)]
-        if (2 * (v + n) + c + m > budget or v + n > bucket.max_vars
-                or c + m > bucket.max_clauses or e + 3 * m > bucket.max_edges
-                or len(formulas) >= bucket.max_graphs):
-            break
-        formulas.append((n, clauses))
-        sols.append(rng.integers(0, 2, size=n).tolist())
-        v += n
-        c += m
-        e += 3 * m
-    return build_batch(formulas, bucket, solutions=sols), e
-
-
 def time_steps(step, state, batch, iters=12):
     state, out = step(state, batch)
     jax.block_until_ready(out["loss"])
@@ -91,6 +67,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=8)
     args = ap.parse_args()
 
+    from diffusionsat_tpu.data.bench_workloads import threshold_3sat_batch
     from diffusionsat_tpu.models.query_sat import (
         QuerySATConfig, query_sat_init)
     from diffusionsat_tpu.parallel.dp import (
@@ -122,8 +99,9 @@ def main():
     batches = []
     edges = 0
     for _ in range(n_dev):
-        b, e = build_batch_workload(np.random.default_rng(rng.integers(1e9)),
-                                    args.budget)
+        b, e = threshold_3sat_batch(
+            np.random.default_rng(rng.integers(1e9)), args.budget,
+            min_vars=8, max_vars=24, max_graphs=256)
         batches.append(b)
         edges = max(edges, e)
     t1 = time_steps(make_train_step(cfg, opt), fresh(), batches[0])
@@ -145,9 +123,13 @@ def main():
     results["dp_weak_scaling"] = dp
 
     # --- GP strong scaling -------------------------------------------------
-    batch, e_gp = build_batch_workload(np.random.default_rng(7), args.budget)
-    tput1 = e_gp * 2 * args.rounds / t1
-    gp = {}
+    batch, e_gp = threshold_3sat_batch(np.random.default_rng(7), args.budget,
+                                       min_vars=8, max_vars=24,
+                                       max_graphs=256)
+    # single-device baseline timed on the SAME batch the GP steps run
+    t_gp1 = time_steps(make_train_step(cfg, opt), fresh(), batch)
+    gp = {"1": {"step_ms": round(t_gp1 * 1e3, 1), "edges_per_sec_M":
+                round(e_gp * 2 * args.rounds / t_gp1 / 1e6, 3)}}
     for n in (2, 4, 8):
         if n > n_dev:
             break
@@ -159,7 +141,7 @@ def main():
         gp[str(n)] = {"step_ms": round(t * 1e3, 1),
                       "edges_per_sec_M": round(tput / 1e6, 3),
                       "efficiency_vs_shared_core_bound":
-                          round(t1 / t, 3)}
+                          round(t_gp1 / t, 3)}
     results["gp_strong_scaling"] = gp
 
     # --- GP communication accounting --------------------------------------

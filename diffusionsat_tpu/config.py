@@ -62,8 +62,10 @@ class RunConfig:
     # workloads; falls back to the flat edge-list path otherwise
     dense: bool = True
     # matmul precision for the dense incidence einsums:
-    # highest (true f32) | high (bf16x3) | default (bf16, fastest)
-    incidence_precision: str = "highest"
+    # highest (true f32) | high (bf16x3) | default (bf16 inputs with f32
+    # accumulation — the flagship/bench configuration, 86 vs 115 ms/step;
+    # training quality validated by the 167k flagship run)
+    incidence_precision: str = "default"
     # data-parallel devices: >1 trains with parallel/dp.py over a 'data'
     # mesh axis (one packed batch per device, gradient pmean over ICI);
     # on hosts without that many accelerators use a virtual CPU mesh

@@ -162,7 +162,12 @@ def densify_batches_quantized(batches) -> list[DenseSatBatch]:
         for vg, cg in _DIM_LEVELS:
             if maxv <= vg and maxc <= cg:
                 return vg, cg
-        return (_round_up(maxv, 8), _round_up(maxc, 16))
+        # beyond the table the dense incidence would be O(Vg*Cg) per
+        # graph — hundreds of MB for e.g. SHA-1 CNFs. Refuse so callers
+        # take the flat edge-list path (diffusion_training.py fallback).
+        raise ValueError(
+            f"graph with {maxv} vars / {maxc} clauses exceeds the dense "
+            f"block levels (max {_DIM_LEVELS[-1]}); use the flat layout")
 
     per_batch = []
     g_for_level: dict[tuple[int, int], int] = {}

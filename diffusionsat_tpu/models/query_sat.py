@@ -180,6 +180,13 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
     """
     mcfgs = cfg.mlp_configs()
     V, C = batch.V, batch.C
+    if halo is not None and not cfg.supervised and cfg.use_linear_loss:
+        # the replicated literal regularizer in linear_loss has no owner
+        # masking: shards would each count it once and the grad psum
+        # n_shards times — refuse rather than train silently wrong
+        raise NotImplementedError(
+            "halo execution supports supervised and clause-partitioned "
+            "unsupervised losses; linear_loss is not owner-maskable")
     if rounds is None:
         rounds = cfg.train_rounds if training else cfg.test_rounds
 

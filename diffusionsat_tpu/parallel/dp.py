@@ -37,18 +37,30 @@ def stacked_stream(batches: list, n_devices: int, seed: int = 0):
 
     from collections import defaultdict
 
+    import numpy as _np
+
     by_shape = defaultdict(list)
     for b in batches:
         leaves = jax.tree.leaves(b)
         key = tuple(getattr(l, "shape", ()) for l in leaves)
         by_shape[key].append(b)
     groups = []
+    dropped = 0
     for same in by_shape.values():
         for i in range(0, len(same) - n_devices + 1, n_devices):
-            groups.append(stack_batches(same[i:i + n_devices]))
+            # host-side numpy stack: device transfer happens once at the
+            # jitted call (CLAUDE.md batch invariant) — jnp.stack here
+            # would pin every group in device memory up-front
+            groups.append(jax.tree.map(
+                lambda *xs: _np.stack([_np.asarray(x) for x in xs], axis=0),
+                *same[i:i + n_devices]))
+        dropped += len(same) % n_devices
     if not groups:
         raise ValueError(
             f"no shape group has >= {n_devices} batches to stack")
+    if dropped:
+        print(f"stacked_stream: {dropped}/{len(batches)} batches dropped "
+              f"(shape-group remainders below n_devices={n_devices})")
     rng = _random.Random(seed)
     while True:
         order = list(range(len(groups)))

@@ -22,6 +22,7 @@ class AllSolutions:
         self.seed = seed
         self._models = None
         self._complete = None
+        self._approx = None
 
     def _ensure(self):
         if self._models is None:
@@ -36,11 +37,14 @@ class AllSolutions:
         self._ensure()
         if self._complete:
             return len(self._models)
-        from diffusionsat_tpu.sat.xor_hash import approx_count
-        # enumeration already proved the count exceeds the budget, so a
-        # tiny exact recheck inside approx_count suffices
-        res = approx_count(self.clauses, self.n_vars, seed=self.seed)
-        return max(int(res.count), len(self._models))
+        if self._approx is None:
+            from diffusionsat_tpu.sat.xor_hash import approx_count
+            # enumeration already proved the count exceeds the budget, so
+            # the tiny exact recheck inside approx_count suffices; cache —
+            # the XOR search is dozens of budgeted CDCL enumerations
+            self._approx = approx_count(self.clauses, self.n_vars,
+                                        seed=self.seed)
+        return max(int(self._approx.count), len(self._models))
 
     @property
     def is_exact(self) -> bool:

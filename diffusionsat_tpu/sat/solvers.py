@@ -210,7 +210,10 @@ class UniformSampler(SatSolver):
             picked = models[rows]
         else:  # too many models to enumerate: XOR-hash near-uniform cells
             from diffusionsat_tpu.sat.xor_hash import HashUniformSampler
-            picked = HashUniformSampler(seed=self.seed).sample_bits(
+            # fresh hash seed per call: successive calls must draw fresh
+            # cells, not replay one deterministic sample set
+            call_seed = int(self._rng.integers(1 << 31))
+            picked = HashUniformSampler(seed=call_seed).sample_bits(
                 clauses, n_vars, n_samples)
             if picked is None:  # hashing degenerate: rand-polarity CDCL
                 picked = []

@@ -56,11 +56,15 @@ def gen_benchmark_formulas(n_formulas: int, seed: int = 0,
 
 def count_stats(counts: dict, models, cnf, n_samples: int) -> dict:
     S = len(models)
+    # expectation from the samples actually collected — a sampler that
+    # stops early (divergence guard) must not be chi2-penalized for the
+    # missing draws
+    got = max(sum(counts.values()), 1)
     keyed_ideal = {}
     for row in models:
         asgn = VariableAssignment(cnf.number_of_vars(), cnf.clauses())
         asgn.assign_all_from_bit_list([int(b) for b in row])
-        keyed_ideal[int(asgn)] = n_samples / max(S, 1)
+        keyed_ideal[int(asgn)] = got / max(S, 1)
     pval = chi_square_likelihood(counts, keyed_ideal)
     # count-histogram cross-entropy vs uniform (reference
     # diffusion_metrics.py:130-159)
@@ -68,6 +72,7 @@ def count_stats(counts: dict, models, cnf, n_samples: int) -> dict:
     ce = -sum((c / total) * np.log(max(c / total, 1e-12))
               for c in counts.values())
     return {"distinct": len(counts), "true_solutions": S,
+            "n_collected": got,
             "diversity": round(len(counts) / max(S, 1), 4),
             "chi2_p": float(pval),
             "count_entropy": round(float(ce), 4),
