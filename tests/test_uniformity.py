@@ -55,3 +55,26 @@ def test_benchmarks_file_roundtrip(tmp_path):
     assert len(store.read_all()) == 2
     found = store.find(clauses)
     assert len(found) == 1 and found[0]["foo"] == 1
+
+
+def test_benchmark_count_stats_uses_collected_total():
+    """chi2 expectations must come from samples actually collected, not
+    the requested count — early-stopping samplers are not penalized."""
+    import numpy as np
+
+    from uniformity_benchmark import count_stats
+    from diffusionsat_tpu.sat.cnf import CNF, VariableAssignment
+
+    cnf = CNF(n_vars=2, clauses=[[1, 2]])
+    models = np.array([[0, 1], [1, 0], [1, 1]], dtype=np.uint8)
+    # perfectly uniform counts over the 3 solutions, but only 30 of the
+    # requested 300 samples were collected
+    counts = {}
+    for row in models:
+        a = VariableAssignment(2, cnf.clauses())
+        a.assign_all_from_bit_list(row.tolist())
+        counts[int(a)] = 10
+    stats = count_stats(counts, models, cnf, n_samples=300)
+    assert stats["n_collected"] == 30
+    assert stats["diversity"] == 1.0
+    assert stats["chi2_p"] > 0.9, stats  # uniform -> high p, no penalty
