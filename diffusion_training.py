@@ -125,6 +125,16 @@ def main(argv=None):
                 "default": jax.lax.Precision.DEFAULT,
             }[cfg.incidence_precision]
             dense_batches = densify_batches_quantized(train_data.batches)
+            # pre-place every training batch on the device ONCE: repeated
+            # per-step host->device uploads through the axon tunnel leak
+            # host memory (~4 MB/step — the 167k flagship run was
+            # OOM-killed at step 31k, kernel log 2026-08-17), and the
+            # whole dataset is only ~2 GB of HBM
+            if cfg.n_devices == 1 and jax.default_backend() == "tpu":
+                dev = jax.devices()[0]
+                dense_batches = [jax.device_put(b, dev)
+                                 for b in dense_batches]
+                print("train batches device-cached", flush=True)
             train_stream = PackedBatches(dense_batches, seed=cfg.seed)
             train_step = make_train_step_for(query_sat_dense_apply,
                                              model_cfg, optimizer)
@@ -183,9 +193,15 @@ def main(argv=None):
         make_diagnostics_step(model_cfg)
     diag_batch = train_stream.batches[0]
 
+    # device-cache the eval batches for the same tunnel-leak reason
+    eval_batches = list(test_data)[:8]
+    if jax.default_backend() == "tpu":
+        eval_batches = [jax.device_put(b, jax.devices()[0])
+                        for b in eval_batches]
+
     def eval_fn(st):
         vals = evaluate_metrics(
-            st.params, model_cfg, test_data,
+            st.params, model_cfg, eval_batches,
             [SATAccuracy(), StepStatistics()], jax.random.key(99),
             max_batches=8)
         try:
