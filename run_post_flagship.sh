@@ -17,8 +17,8 @@ timeout 7200 python uniformity_benchmark.py --model_ckpt "$CKPT" \
   --summary_out UNIFORMITY_SUMMARY.json
 
 echo "=== 3. ANFSAT at reference difficulty (17 rounds, 2-20 free bits) ==="
-timeout 5400 python anf_training.py --rounds 17 --train_size 2000 \
-  --test_size 200 --train_steps 1500 --eval_every 250 --label ref_difficulty
+timeout 7200 python anf_training.py --rounds 17 --train_size 2000 \
+  --test_size 200 --train_steps 4000 --eval_every 500 --label ref_difficulty
 
 echo "=== 4. round-generalization sweep to 4096 ==="
 timeout 5400 python main.py --restore "$CKPT" --train_steps 0 \
