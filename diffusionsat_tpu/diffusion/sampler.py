@@ -200,11 +200,14 @@ class DiffusionSampler:
             dense = self.n_vars <= 128 and len(self.clauses) <= 576
         self.dense = dense
         if graphs_per_batch is None:
-            budget = 4000 if dense else 2000
-            graphs_per_batch = max(1, min(
-                256 if dense else 128,
-                budget // max(self.n_vars, 1),
-            ))
+            if dense:
+                # fixed batch of copies: formulas of similar size then
+                # share ONE compiled chain shape (with the quantized
+                # block dims below) instead of compiling per formula
+                graphs_per_batch = 256
+            else:
+                graphs_per_batch = max(1, min(128,
+                                              2000 // max(self.n_vars, 1)))
         if bucket is None:
             g = graphs_per_batch
             bucket = BucketSpec(
@@ -220,8 +223,9 @@ class DiffusionSampler:
         flat = build_batch(formulas, self.bucket, solutions=sols)
         self.plans = None
         if self.dense:
-            from diffusionsat_tpu.graph.dense_batch import densify_batches
-            self.batch = densify_batches([flat])[0]
+            from diffusionsat_tpu.graph.dense_batch import (
+                densify_batches_quantized)
+            self.batch = densify_batches_quantized([flat])[0]
             self.chain = make_dense_diffusion_chain(
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
