@@ -96,10 +96,11 @@ def test_halo_exchange_completes_closure_rows():
                                    rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("n_shards", [4, 8])
-def test_halo_gp_step_matches_single_device(n_shards):
+@pytest.mark.parametrize("n_shards,supervised", [(4, True), (8, True),
+                                                 (4, False)])
+def test_halo_gp_step_matches_single_device(n_shards, supervised):
     cfg = QuerySATConfig(feature_maps=8, query_maps=8, train_rounds=3,
-                         test_rounds=3)
+                         test_rounds=3, supervised=supervised)
     opt = adabelief(learning_rate=1e-3)
     params = query_sat_init(jax.random.key(0), cfg)
     batch = random_batch(5)
