@@ -33,7 +33,8 @@ from diffusionsat_tpu.sat.solvers import enumerate_models
 def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
                          use_baseline_sampling: bool = True,
                          self_supervised: bool = False,
-                         test_rounds: int = 32):
+                         test_rounds: int = 32,
+                         freeze_sat: bool = True):
     """Build the jitted full reverse chain.
 
     Returns fn(params, batch, key) -> (bits [V] int32, solved_graphs [G],
@@ -71,14 +72,18 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
                 noise_scale, 1.0 / N)
 
             # per-graph freeze (reference :154-170): graphs whose rounded
-            # prediction is SAT get their bits pinned at this step
-            pred_bits = jnp.round(predictions)
-            sat_g = is_graph_sat(logits, batch)[:, 0]           # [G]
-            sat_v = graph_gather_vars(batch, sat_g[:, None])[:, 0]  # [V]
-            newly = (sat_v > 0.5) & (fixed_mask < 0.5)
-            fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
-            fixed_step = jnp.where(newly, t, fixed_step)
-            fixed_mask = jnp.maximum(fixed_mask, sat_v)
+            # prediction is SAT get their bits pinned at this step.
+            # freeze_sat=False runs the full denoising trajectory instead
+            # (diagnosis: a strong model satisfies at t=0 and freezing
+            # there bypasses the diffusion chain entirely — see STATUS.md)
+            if freeze_sat:
+                pred_bits = jnp.round(predictions)
+                sat_g = is_graph_sat(logits, batch)[:, 0]           # [G]
+                sat_v = graph_gather_vars(batch, sat_g[:, None])[:, 0]
+                newly = (sat_v > 0.5) & (fixed_mask < 0.5)
+                fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
+                fixed_step = jnp.where(newly, t, fixed_step)
+                fixed_mask = jnp.maximum(fixed_mask, sat_v)
 
             return (x, fixed_mask, fixed_bits, fixed_step, key, predictions)
 
@@ -107,7 +112,8 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
                                diffusion_steps: int = 32,
                                use_baseline_sampling: bool = True,
                                self_supervised: bool = False,
-                               test_rounds: int = 32):
+                               test_rounds: int = 32,
+                               freeze_sat: bool = True):
     """Dense-block variant of the reverse chain (graph/dense_batch.py):
     the sampler batch is G copies of one small formula, so every model
     call runs on the MXU fast path. Same semantics as
@@ -140,13 +146,14 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
                 x, jnp.stack([1 - predictions, predictions], axis=-1),
                 noise_scale, 1.0 / N)
 
-            pred_bits = jnp.round(predictions)
-            sat_g = dense_ops.is_graph_sat(logits, batch)[:, 0]   # [G]
-            sat_v = jnp.broadcast_to(sat_g[:, None], (G, Vg))
-            newly = (sat_v > 0.5) & (fixed_mask < 0.5)
-            fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
-            fixed_step = jnp.where(newly, t, fixed_step)
-            fixed_mask = jnp.maximum(fixed_mask, sat_v)
+            if freeze_sat:
+                pred_bits = jnp.round(predictions)
+                sat_g = dense_ops.is_graph_sat(logits, batch)[:, 0]  # [G]
+                sat_v = jnp.broadcast_to(sat_g[:, None], (G, Vg))
+                newly = (sat_v > 0.5) & (fixed_mask < 0.5)
+                fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
+                fixed_step = jnp.where(newly, t, fixed_step)
+                fixed_mask = jnp.maximum(fixed_mask, sat_v)
 
             return (x, fixed_mask, fixed_bits, fixed_step, key, predictions)
 
@@ -187,7 +194,7 @@ class DiffusionSampler:
                  graphs_per_batch: int | None = None,
                  use_baseline_sampling: bool = True,
                  self_supervised: bool = False, seed: int = 0,
-                 dense: bool | None = None):
+                 dense: bool | None = None, freeze_sat: bool = True):
         self.params = params
         self.cfg = cfg
         self.cnf = cnf
@@ -229,13 +236,15 @@ class DiffusionSampler:
             self.chain = make_dense_diffusion_chain(
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
-                self_supervised=self_supervised, test_rounds=test_rounds)
+                self_supervised=self_supervised, test_rounds=test_rounds,
+                freeze_sat=freeze_sat)
         else:
             self.batch = flat
             self.chain = make_diffusion_chain(
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
-                self_supervised=self_supervised, test_rounds=test_rounds)
+                self_supervised=self_supervised, test_rounds=test_rounds,
+                freeze_sat=freeze_sat)
             if jax.default_backend() == "tpu":
                 from diffusionsat_tpu.ops.pallas_segsum import (
                     build_batch_plans)

@@ -129,10 +129,19 @@ def main(argv=None):
                     ("walksat", WalkSatSampler(cnf, seed=2 + fi))]
         if diffusion_params is not None:
             from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
+            # two regimes: the reference's early-freeze (pins a graph the
+            # moment its prediction satisfies — bypasses the chain when
+            # the model solves at t=0) and the full denoising trajectory
+            # (near-uniform; slightly lower success rate). See STATUS.md.
             samplers.append(("diffusion", DiffusionSampler(
                 diffusion_params, cfg, cnf,
                 diffusion_steps=args.diffusion_steps,
                 test_rounds=args.test_rounds, seed=3 + fi)))
+            samplers.append(("diffusion_nofreeze", DiffusionSampler(
+                diffusion_params, cfg, cnf,
+                diffusion_steps=args.diffusion_steps,
+                test_rounds=args.test_rounds, seed=4 + fi,
+                freeze_sat=False)))
 
         for name, sampler in samplers:
             t0 = time.perf_counter()
@@ -142,7 +151,7 @@ def main(argv=None):
             stats["elapsed_s"] = round(elapsed, 2)
             stats["ms_per_distinct"] = round(
                 1000 * elapsed / max(len(counts), 1), 2)
-            if name == "diffusion":
+            if name.startswith("diffusion"):
                 stats["success_rate"] = getattr(sampler, "success_rate",
                                                 None)
             record[name] = {"counts": {str(k): v
