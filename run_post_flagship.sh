@@ -16,6 +16,12 @@ timeout 7200 python uniformity_benchmark.py --model_ckpt "$CKPT" \
   --n_formulas 8 --k 10 --out benchmarks_flagship.jsonl \
   --summary_out UNIFORMITY_SUMMARY.json
 
+echo "=== 2b. uniformity at 128 diffusion steps (best-uniformity config) ==="
+timeout 3600 python uniformity_benchmark.py --model_ckpt "$CKPT" \
+  --n_formulas 8 --k 10 --diffusion_steps 128 \
+  --out benchmarks_flagship_ds128.jsonl \
+  --summary_out UNIFORMITY_SUMMARY_DS128.json
+
 echo "=== 3. ANFSAT at reference difficulty (17 rounds, 2-20 free bits) ==="
 timeout 7200 python anf_training.py --rounds 17 --train_size 2000 \
   --test_size 200 --train_steps 4000 --eval_every 500 --label ref_difficulty
