@@ -34,7 +34,8 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
                          use_baseline_sampling: bool = True,
                          self_supervised: bool = False,
                          test_rounds: int = 32,
-                         freeze_sat: bool = True):
+                         freeze_sat: bool = True,
+                         freeze_from: int = 0):
     """Build the jitted full reverse chain.
 
     Returns fn(params, batch, key) -> (bits [V] int32, solved_graphs [G],
@@ -75,15 +76,19 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
             # prediction is SAT get their bits pinned at this step.
             # freeze_sat=False runs the full denoising trajectory instead
             # (diagnosis: a strong model satisfies at t=0 and freezing
-            # there bypasses the diffusion chain entirely — see STATUS.md)
+            # there bypasses the diffusion chain entirely — see STATUS.md).
+            # freeze_from delays freezing until the chain has genuinely
+            # diffused: full-trajectory diversity, near-100% SAT rate.
             if freeze_sat:
                 pred_bits = jnp.round(predictions)
                 sat_g = is_graph_sat(logits, batch)[:, 0]           # [G]
                 sat_v = graph_gather_vars(batch, sat_g[:, None])[:, 0]
-                newly = (sat_v > 0.5) & (fixed_mask < 0.5)
+                newly = (sat_v > 0.5) & (fixed_mask < 0.5) & \
+                    (t >= freeze_from)
                 fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
                 fixed_step = jnp.where(newly, t, fixed_step)
-                fixed_mask = jnp.maximum(fixed_mask, sat_v)
+                fixed_mask = jnp.maximum(fixed_mask,
+                                         newly.astype(fixed_mask.dtype))
 
             return (x, fixed_mask, fixed_bits, fixed_step, key, predictions)
 
@@ -113,7 +118,8 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
                                use_baseline_sampling: bool = True,
                                self_supervised: bool = False,
                                test_rounds: int = 32,
-                               freeze_sat: bool = True):
+                               freeze_sat: bool = True,
+                               freeze_from: int = 0):
     """Dense-block variant of the reverse chain (graph/dense_batch.py):
     the sampler batch is G copies of one small formula, so every model
     call runs on the MXU fast path. Same semantics as
@@ -150,10 +156,12 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
                 pred_bits = jnp.round(predictions)
                 sat_g = dense_ops.is_graph_sat(logits, batch)[:, 0]  # [G]
                 sat_v = jnp.broadcast_to(sat_g[:, None], (G, Vg))
-                newly = (sat_v > 0.5) & (fixed_mask < 0.5)
+                newly = (sat_v > 0.5) & (fixed_mask < 0.5) & \
+                    (t >= freeze_from)
                 fixed_bits = jnp.where(newly, pred_bits, fixed_bits)
                 fixed_step = jnp.where(newly, t, fixed_step)
-                fixed_mask = jnp.maximum(fixed_mask, sat_v)
+                fixed_mask = jnp.maximum(fixed_mask,
+                                         newly.astype(fixed_mask.dtype))
 
             return (x, fixed_mask, fixed_bits, fixed_step, key, predictions)
 
@@ -194,7 +202,8 @@ class DiffusionSampler:
                  graphs_per_batch: int | None = None,
                  use_baseline_sampling: bool = True,
                  self_supervised: bool = False, seed: int = 0,
-                 dense: bool | None = None, freeze_sat: bool = True):
+                 dense: bool | None = None, freeze_sat: bool = True,
+                 freeze_from: int = 0):
         self.params = params
         self.cfg = cfg
         self.cnf = cnf
@@ -237,14 +246,14 @@ class DiffusionSampler:
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
                 self_supervised=self_supervised, test_rounds=test_rounds,
-                freeze_sat=freeze_sat)
+                freeze_sat=freeze_sat, freeze_from=freeze_from)
         else:
             self.batch = flat
             self.chain = make_diffusion_chain(
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
                 self_supervised=self_supervised, test_rounds=test_rounds,
-                freeze_sat=freeze_sat)
+                freeze_sat=freeze_sat, freeze_from=freeze_from)
             if jax.default_backend() == "tpu":
                 from diffusionsat_tpu.ops.pallas_segsum import (
                     build_batch_plans)

@@ -67,3 +67,40 @@ def test_sampler_flat_and_dense_paths_both_sample_sat():
             asgn = VariableAssignment(4, cnf.clauses())
             asgn.assign_all_from_int(sol_int)
             assert asgn.satisfiable()
+
+def test_sampler_freeze_from_defers_fixing():
+    # freeze_from=N disables freezing entirely (equals freeze_sat=False
+    # trajectories for the same key); freeze_from=0 is the reference
+    # early-freeze regime. Check via the fixed_step output of the chain.
+    from diffusionsat_tpu.diffusion.sampler import make_diffusion_chain
+    from diffusionsat_tpu.graph.batch import BucketSpec, build_batch
+
+    # tautological clauses: EVERY assignment satisfies, so the freeze
+    # fires deterministically at the first permitted step
+    clauses = [[1, -1], [2, -2], [3, -3]]
+    cnf = CNF(n_vars=3, clauses=clauses)
+    cfg = QuerySATConfig(feature_maps=8, query_maps=8, train_rounds=2,
+                         test_rounds=2)
+    params = query_sat_init(jax.random.key(0), cfg)
+    bucket = BucketSpec(max_vars=16, max_clauses=16, max_edges=64,
+                        max_graphs=4)
+    batch = build_batch([(3, cnf.clauses())] * 4, bucket,
+                        solutions=[[0, 0, 0]] * 4)
+    key = jax.random.key(7)
+    N = 6
+    late = 4
+    nv = 12  # 4 graphs x 3 real vars (rest is padding)
+    chain_early = make_diffusion_chain(cfg, diffusion_steps=N, test_rounds=2)
+    chain_late = make_diffusion_chain(cfg, diffusion_steps=N, test_rounds=2,
+                                      freeze_from=late)
+    chain_off = make_diffusion_chain(cfg, diffusion_steps=N, test_rounds=2,
+                                     freeze_sat=False)
+    _, _, fs_early = chain_early(params, batch, key)
+    _, _, fs_late = chain_late(params, batch, key)
+    _, _, fs_off = chain_off(params, batch, key)
+    # reference regime: pinned at the very first step
+    assert (np.asarray(fs_early)[:nv] == 0).all()
+    # late-freeze: pinned exactly at the first permitted step
+    assert (np.asarray(fs_late)[:nv] == late).all()
+    # freezing disabled: fixed_step stays -1 everywhere
+    assert (np.asarray(fs_off) == -1).all()

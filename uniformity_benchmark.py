@@ -142,6 +142,14 @@ def main(argv=None):
                 diffusion_steps=args.diffusion_steps,
                 test_rounds=args.test_rounds, seed=4 + fi,
                 freeze_sat=False)))
+            # late-freeze: full denoising trajectory for the first 3/4 of
+            # the chain (nofreeze diversity), then pin SAT graphs over the
+            # last quarter (recovers the 100% success rate)
+            samplers.append(("diffusion_latefreeze", DiffusionSampler(
+                diffusion_params, cfg, cnf,
+                diffusion_steps=args.diffusion_steps,
+                test_rounds=args.test_rounds, seed=5 + fi,
+                freeze_from=args.diffusion_steps * 3 // 4)))
 
         for name, sampler in samplers:
             t0 = time.perf_counter()
