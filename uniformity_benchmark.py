@@ -89,7 +89,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="benchmarks_flagship.jsonl")
     p.add_argument("--summary_out", default=None)
+    p.add_argument("--variants", default=None,
+                   help="comma-separated subset of samplers to run "
+                        "(uniform,walksat,diffusion,diffusion_nofreeze,"
+                        "diffusion_latefreeze); default: all")
     args = p.parse_args(argv)
+    selected = (set(args.variants.split(","))
+                if args.variants else None)
 
     formulas = gen_benchmark_formulas(args.n_formulas, seed=args.seed)
     print(f"{len(formulas)} benchmark formulas: "
@@ -151,6 +157,8 @@ def main(argv=None):
                 test_rounds=args.test_rounds, seed=5 + fi,
                 freeze_from=args.diffusion_steps * 3 // 4)))
 
+        if selected is not None:
+            samplers = [(n_, s_) for n_, s_ in samplers if n_ in selected]
         for name, sampler in samplers:
             t0 = time.perf_counter()
             counts = sampler.samples(n_samples)
