@@ -33,6 +33,14 @@ def main(argv=None):
     p.add_argument("--feature_maps", type=int, default=128)
     p.add_argument("--query_maps", type=int, default=128)
     p.add_argument("--out", default=None)
+    p.add_argument("--freeze", choices=["early", "late", "off"],
+                   default="early",
+                   help="SAT-freeze regime inside the reverse chain: "
+                        "'early' = reference semantics (pin a graph the "
+                        "moment its prediction satisfies; 100%% SAT rate, "
+                        "mode-collapsed diversity), 'late' = freeze only "
+                        "in the last quarter of the chain (full diversity "
+                        "at ~99%% SAT rate), 'off' = never freeze")
     args = p.parse_args(argv)
 
     cfg = QuerySATConfig(feature_maps=args.feature_maps,
@@ -41,7 +49,10 @@ def main(argv=None):
     sampler = DiffusionSampler.from_checkpoint(
         args.model_ckpt, args.dimacs, cfg=cfg,
         diffusion_steps=args.diffusion_steps,
-        test_rounds=args.test_rounds)
+        test_rounds=args.test_rounds,
+        freeze_sat=args.freeze != "off",
+        freeze_from=(args.diffusion_steps * 3 // 4
+                     if args.freeze == "late" else 0))
     counts = sampler.samples(args.n_samples)
     print(f"success rate: {sampler.success_rate:.4f}")
     print(f"{len(counts)} distinct solutions over "
