@@ -35,7 +35,9 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
                          self_supervised: bool = False,
                          test_rounds: int = 32,
                          freeze_sat: bool = True,
-                         freeze_from: int = 0):
+                         freeze_from: int = 0,
+                         final_sample: bool = False,
+                         temperature: float = 1.0):
     """Build the jitted full reverse chain.
 
     Returns fn(params, batch, key) -> (bits [V] int32, solved_graphs [G],
@@ -43,6 +45,13 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
     per step t: noise 1-t/N, randomized rounding, model denoise, theoretic
     posterior step, and freezing of graphs whose rounded prediction already
     satisfies them.
+
+    `temperature` rescales the denoiser logits inside the reverse-step
+    posterior (t>1 softens toward uniform); `final_sample` draws the final
+    unfrozen bits from Bernoulli(predictions) instead of rounding — the
+    correct terminal step of the categorical reverse process (rounding is
+    the reference's choice, `diffusion():171-180`, and a small mode-seeking
+    bias).
     """
     N = diffusion_steps
 
@@ -66,7 +75,7 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
                 noise_scale=noise_scale, noisy_num=x_noisy,
                 denoised_num=denoised, rounds=test_rounds, early_exit=True,
                 plans=plans)
-            predictions = jax.nn.sigmoid(logits[:, 0])  # [V]
+            predictions = jax.nn.sigmoid(logits[:, 0] / temperature)  # [V]
 
             x = reverse_distribution_step_theoretic(
                 x, jnp.stack([1 - predictions, predictions], axis=1),
@@ -103,8 +112,13 @@ def make_diffusion_chain(cfg: QuerySATConfig, diffusion_steps: int = 32,
         x, fixed_mask, fixed_bits, fixed_step, key, predictions = \
             jax.lax.fori_loop(0, N, body, init)
 
+        if final_sample:
+            key, k_fin = jax.random.split(key)
+            free_bits = jax.random.bernoulli(k_fin, predictions)
+        else:
+            free_bits = jnp.round(predictions)
         final_bits = jnp.where(fixed_mask > 0.5, fixed_bits,
-                               jnp.round(predictions)).astype(jnp.int32)
+                               free_bits).astype(jnp.int32)
         # solved graphs under the final assignment
         final_logits = (final_bits.astype(jnp.float32) * 2 - 1)[:, None] * 10.0
         solved = is_graph_sat(final_logits, batch)[:, 0]
@@ -119,7 +133,9 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
                                self_supervised: bool = False,
                                test_rounds: int = 32,
                                freeze_sat: bool = True,
-                               freeze_from: int = 0):
+                               freeze_from: int = 0,
+                               final_sample: bool = False,
+                               temperature: float = 1.0):
     """Dense-block variant of the reverse chain (graph/dense_batch.py):
     the sampler batch is G copies of one small formula, so every model
     call runs on the MXU fast path. Same semantics as
@@ -146,7 +162,8 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
                 params, cfg, batch, k_model, training=False,
                 noise_scale=noise_scale, noisy_num=x_noisy,
                 denoised_num=denoised, rounds=test_rounds, early_exit=True)
-            predictions = jax.nn.sigmoid(logits[..., 0])       # [G, Vg]
+            predictions = jax.nn.sigmoid(
+                logits[..., 0] / temperature)                  # [G, Vg]
 
             x = reverse_distribution_step_theoretic(
                 x, jnp.stack([1 - predictions, predictions], axis=-1),
@@ -176,8 +193,13 @@ def make_dense_diffusion_chain(cfg: QuerySATConfig,
         x, fixed_mask, fixed_bits, fixed_step, key, predictions = \
             jax.lax.fori_loop(0, N, body, init)
 
+        if final_sample:
+            key, k_fin = jax.random.split(key)
+            free_bits = jax.random.bernoulli(k_fin, predictions)
+        else:
+            free_bits = jnp.round(predictions)
         final_bits = jnp.where(fixed_mask > 0.5, fixed_bits,
-                               jnp.round(predictions)).astype(jnp.int32)
+                               free_bits).astype(jnp.int32)
         final_logits = (final_bits.astype(jnp.float32) * 2 - 1
                         )[..., None] * 10.0
         solved = dense_ops.is_graph_sat(final_logits, batch)[:, 0]
@@ -203,7 +225,8 @@ class DiffusionSampler:
                  use_baseline_sampling: bool = True,
                  self_supervised: bool = False, seed: int = 0,
                  dense: bool | None = None, freeze_sat: bool = True,
-                 freeze_from: int = 0):
+                 freeze_from: int = 0, final_sample: bool = False,
+                 temperature: float = 1.0):
         self.params = params
         self.cfg = cfg
         self.cnf = cnf
@@ -246,14 +269,16 @@ class DiffusionSampler:
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
                 self_supervised=self_supervised, test_rounds=test_rounds,
-                freeze_sat=freeze_sat, freeze_from=freeze_from)
+                freeze_sat=freeze_sat, freeze_from=freeze_from,
+                final_sample=final_sample, temperature=temperature)
         else:
             self.batch = flat
             self.chain = make_diffusion_chain(
                 cfg, diffusion_steps=diffusion_steps,
                 use_baseline_sampling=use_baseline_sampling,
                 self_supervised=self_supervised, test_rounds=test_rounds,
-                freeze_sat=freeze_sat, freeze_from=freeze_from)
+                freeze_sat=freeze_sat, freeze_from=freeze_from,
+                final_sample=final_sample, temperature=temperature)
             if jax.default_backend() == "tpu":
                 from diffusionsat_tpu.ops.pallas_segsum import (
                     build_batch_plans)

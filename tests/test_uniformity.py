@@ -78,3 +78,59 @@ def test_benchmark_count_stats_uses_collected_total():
     assert stats["n_collected"] == 30
     assert stats["diversity"] == 1.0
     assert stats["chi2_p"] > 0.9, stats  # uniform -> high p, no penalty
+
+
+def test_metropolis_refiner_uniformizes_degenerate_seeds():
+    """MH refinement from a single-solution seed distribution must spread
+    to near-uniform over the (connected) solution set."""
+    from diffusionsat_tpu.sat.cnf import VariableAssignment
+    from diffusionsat_tpu.sat.solvers import enumerate_models
+    from diffusionsat_tpu.uniformity.samplers import MetropolisRefiner
+
+    cnf = formula()
+    models, complete = enumerate_models(cnf.clauses(),
+                                        cnf.number_of_vars(), 1000)
+    assert complete and len(models) == 18
+
+    class OneSolutionSampler:
+        def samples(self, n):
+            a = VariableAssignment(5, cnf.clauses())
+            a.assign_all_from_bit_list([int(b) for b in models[0]])
+            return {int(a): n}
+
+    ref = MetropolisRefiner(cnf, OneSolutionSampler(), seed=0)
+    counts = ref.refine(OneSolutionSampler().samples(1800))
+    assert sum(counts.values()) == 1800
+    # all outputs satisfy
+    for k in counts:
+        a = VariableAssignment(5, cnf.clauses())
+        a.assign_all_from_int(k)
+        assert a.satisfiable()
+    # full support + chi2-consistent with uniform
+    assert len(counts) == 18
+    ideal = {}
+    for row in models:
+        a = VariableAssignment(5, cnf.clauses())
+        a.assign_all_from_bit_list([int(b) for b in row])
+        ideal[int(a)] = 1800 / 18
+    assert chi_square_likelihood(counts, ideal) > 1e-3
+
+
+def test_metropolis_refiner_stays_in_component():
+    """Disconnected solution set: the chain must not leak mass across
+    components (x1 XOR-ish formula with two isolated solutions)."""
+    from diffusionsat_tpu.sat.cnf import VariableAssignment
+    from diffusionsat_tpu.uniformity.samplers import MetropolisRefiner
+
+    # solutions: 00 and 11 only -> Hamming distance 2, no single-flip path
+    cnf2 = CNF(n_vars=2, clauses=[[1, -2], [-1, 2]])
+
+    class Seed00:
+        def samples(self, n):
+            a = VariableAssignment(2, cnf2.clauses())
+            a.assign_all_from_bit_list([0, 0])
+            return {int(a): n}
+
+    ref = MetropolisRefiner(cnf2, Seed00(), seed=0)
+    counts = ref.samples(100)
+    assert counts == {0: 100}

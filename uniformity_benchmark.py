@@ -29,6 +29,7 @@ from diffusionsat_tpu.sat.solvers import enumerate_models
 from diffusionsat_tpu.uniformity.benchmarks_file import BenchmarksFile
 from diffusionsat_tpu.uniformity.samplers import (
     ExactUniformSampler,
+    MetropolisRefiner,
     WalkSatSampler,
 )
 from diffusionsat_tpu.utils.chi_square import chi_square_likelihood
@@ -91,8 +92,11 @@ def main(argv=None):
     p.add_argument("--summary_out", default=None)
     p.add_argument("--variants", default=None,
                    help="comma-separated subset of samplers to run "
-                        "(uniform,walksat,diffusion,diffusion_nofreeze,"
-                        "diffusion_latefreeze); default: all")
+                        "(uniform,walksat,walksat_mh,diffusion,"
+                        "diffusion_nofreeze,diffusion_latefreeze,"
+                        "diffusion_sample,diffusion_mh,"
+                        "diffusion_latefreeze_mh); default: the round-2 "
+                        "core five (no _mh/_sample extras)")
     args = p.parse_args(argv)
     selected = (set(args.variants.split(","))
                 if args.variants else None)
@@ -133,6 +137,9 @@ def main(argv=None):
 
         samplers = [("uniform", ExactUniformSampler(cnf, seed=1 + fi)),
                     ("walksat", WalkSatSampler(cnf, seed=2 + fi))]
+        if selected is not None and "walksat_mh" in selected:
+            samplers.append(("walksat_mh", MetropolisRefiner(
+                cnf, WalkSatSampler(cnf, seed=2 + fi), seed=12 + fi)))
         if diffusion_params is not None:
             from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
             # two regimes: the reference's early-freeze (pins a graph the
@@ -156,6 +163,30 @@ def main(argv=None):
                 diffusion_steps=args.diffusion_steps,
                 test_rounds=args.test_rounds, seed=5 + fi,
                 freeze_from=args.diffusion_steps * 3 // 4)))
+            if selected is not None and "diffusion_sample" in selected:
+                # terminal Bernoulli sampling instead of rounding
+                samplers.append(("diffusion_sample", DiffusionSampler(
+                    diffusion_params, cfg, cnf,
+                    diffusion_steps=args.diffusion_steps,
+                    test_rounds=args.test_rounds, seed=6 + fi,
+                    freeze_sat=False, final_sample=True)))
+            if selected is not None and "diffusion_mh" in selected:
+                # diffusion proposes (component coverage), Metropolis
+                # corrects (within-component uniformity)
+                samplers.append(("diffusion_mh", MetropolisRefiner(
+                    cnf, DiffusionSampler(
+                        diffusion_params, cfg, cnf,
+                        diffusion_steps=args.diffusion_steps,
+                        test_rounds=args.test_rounds, seed=7 + fi,
+                        freeze_sat=False), seed=17 + fi)))
+            if selected is not None and "diffusion_latefreeze_mh" in selected:
+                samplers.append(("diffusion_latefreeze_mh", MetropolisRefiner(
+                    cnf, DiffusionSampler(
+                        diffusion_params, cfg, cnf,
+                        diffusion_steps=args.diffusion_steps,
+                        test_rounds=args.test_rounds, seed=8 + fi,
+                        freeze_from=args.diffusion_steps * 3 // 4),
+                    seed=18 + fi)))
 
         if selected is not None:
             samplers = [(n_, s_) for n_, s_ in samplers if n_ in selected]
