@@ -41,6 +41,13 @@ def main(argv=None):
                         "mode-collapsed diversity), 'late' = freeze only "
                         "in the last quarter of the chain (full diversity "
                         "at ~99%% SAT rate), 'off' = never freeze")
+    p.add_argument("--refine", choices=["off", "mh"], default="off",
+                   help="'mh' = post-hoc Metropolis uniformizing "
+                        "refinement over the solution set (uniform "
+                        "stationary distribution per connected component; "
+                        "see uniformity/samplers.py MetropolisRefiner)")
+    p.add_argument("--mh_steps", type=int, default=None,
+                   help="MH chain length (default 20 * n_vars)")
     args = p.parse_args(argv)
 
     cfg = QuerySATConfig(feature_maps=args.feature_maps,
@@ -54,6 +61,10 @@ def main(argv=None):
         freeze_from=(args.diffusion_steps * 3 // 4
                      if args.freeze == "late" else 0))
     counts = sampler.samples(args.n_samples)
+    if args.refine == "mh":
+        from diffusionsat_tpu.uniformity.samplers import MetropolisRefiner
+        counts = MetropolisRefiner(CNF.load(args.dimacs), None,
+                                   n_steps=args.mh_steps).refine(counts)
     print(f"success rate: {sampler.success_rate:.4f}")
     print(f"{len(counts)} distinct solutions over "
           f"{sum(counts.values())} SAT samples")
