@@ -48,6 +48,12 @@ def main(argv=None):
     p.add_argument("--feature_maps", type=int, default=128)
     p.add_argument("--eval_every", type=int, default=250)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--cosine", action="store_true",
+                   help="cosine-decay lr over train_steps (reference "
+                        "schedule style, config.py:24)")
+    p.add_argument("--restore", default="",
+                   help="checkpoint dir to resume from (also keeps "
+                        "saving there)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--label", default="")
     p.add_argument("--train_dir", default="runs_anf")
@@ -81,7 +87,13 @@ def main(argv=None):
                        query_maps=args.feature_maps,
                        train_rounds=args.train_rounds,
                        test_rounds=args.test_rounds)
-    opt = adabelief(learning_rate=args.lr, clip_gradients=True)
+    if args.cosine:
+        from diffusionsat_tpu.train.adabelief import cosine_decay_schedule
+        lr = cosine_decay_schedule(initial_lr=args.lr,
+                                   decay_steps=args.train_steps)
+    else:
+        lr = args.lr
+    opt = adabelief(learning_rate=lr, clip_gradients=True)
     with jax.default_device(jax.devices("cpu")[0]):
         params = anf_sat_init(jax.random.key(args.seed), cfg)
         state = TrainState(params=params, opt_state=opt.init(params),
@@ -95,7 +107,22 @@ def main(argv=None):
         f"anf_sat_r{args.rounds}{'_' + args.label if args.label else ''}_"
         + time.strftime("%Y%m%d_%H%M%S"))
     run_dir.mkdir(parents=True, exist_ok=True)
-    mgr = CheckpointManager(run_dir / "ckpt", max_to_keep=2)
+    ckpt_dir = Path(args.restore) if args.restore else run_dir / "ckpt"
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+    restored = mgr.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"Restored from step {int(state.step)}", flush=True)
+
+    # pre-place every batch on the device ONCE: per-step host->device
+    # uploads through the axon tunnel leak host memory (~batch-size/step,
+    # never released until process exit) and cost a round-trip each; the
+    # whole packed ANF dataset is small relative to HBM
+    if jax.default_backend() == "tpu":
+        dev = jax.devices()[0]
+        train_batches = [jax.device_put(b, dev) for b in train_batches]
+        test_batches = [jax.device_put(b, dev) for b in test_batches]
+        print("ANF batches device-cached", flush=True)
 
     step_fn = make_train_step_for(anf_sat_apply, cfg, opt)
 
@@ -105,7 +132,8 @@ def main(argv=None):
                                 max_batches=16, apply_fn=anf_sat_apply)
 
     state = train(state, step_fn, ds.repeat_shuffled(train_batches),
-                  steps=args.train_steps, eval_fn=eval_fn,
+                  steps=max(args.train_steps - int(state.step), 0),
+                  eval_fn=eval_fn,
                   eval_every=args.eval_every, checkpoint_fn=mgr.save,
                   ckpt_every=args.eval_every * 2,
                   log_file=run_dir / "train_log.jsonl")
