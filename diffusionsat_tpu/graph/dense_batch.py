@@ -144,19 +144,25 @@ def densify_batches(batches, pad_graphs: int = 4, pad_nodes: int = 8
 
 
 # quantization levels for per-batch dense dims: (Vg, Cg) pairs sized for
-# threshold 3-SAT (m ~ 4.3n), coarse enough to bound the number of
-# compiled programs to a handful across a whole dataset
-_DIM_LEVELS = ((8, 48), (16, 80), (24, 112), (32, 144), (48, 224),
-               (64, 288), (96, 448), (128, 576))
+# threshold 3-SAT (m ~ 4.3n). The fine grid (step 4 vars up to 32) keeps
+# block fill high — the packer sorts instances by size so batches are
+# size-homogeneous, and each level is one persistent-cached XLA program.
+_DIM_LEVELS = ((8, 48), (12, 64), (16, 80), (20, 96), (24, 112),
+               (28, 128), (32, 144), (48, 224), (64, 288), (96, 448),
+               (128, 576))
 
 
-def densify_batches_quantized(batches) -> list[DenseSatBatch]:
+def densify_batches_quantized(batches, g_quantum: int = 32
+                              ) -> list[DenseSatBatch]:
     """Per-batch dense dims snapped to a small set of quantized levels.
 
     The packer sorts instances by size (data/packing.py), so batches are
     size-homogeneous: batches of tiny graphs get small blocks instead of
-    paying the global maximum's padding. Distinct (G, Vg, Cg) shapes stay
-    bounded by the level table (one XLA program each, persistent-cached).
+    paying the global maximum's padding. The graph dim is quantized
+    per-batch (rounded up to `g_quantum`, capped by the level's maximum)
+    rather than padded to the level-wide maximum. Distinct (G, Vg, Cg)
+    shapes stay bounded by the level table times a couple of G levels
+    (one XLA program each, persistent-cached).
     """
     def level_for(maxv: int, maxc: int) -> tuple[int, int]:
         for vg, cg in _DIM_LEVELS:
@@ -180,6 +186,7 @@ def densify_batches_quantized(batches) -> list[DenseSatBatch]:
         g_for_level[lv] = max(g_for_level.get(lv, 1), ng)
     out = []
     for b, lv, ng in per_batch:
-        G = _round_up(g_for_level[lv], 16)
+        G = min(_round_up(ng, g_quantum),
+                _round_up(g_for_level[lv], g_quantum))
         out.append(dense_from_flat(b, G, lv[0], lv[1]))
     return out
