@@ -286,6 +286,28 @@ def test_densify_quantized_levels():
             np.asarray(f.solutions)[np.asarray(f.var_mask) > 0])
 
 
+def test_densify_quantized_g_levels():
+    """The graph dim is quantized per batch (rounded to g_quantum), not
+    padded to the level-wide maximum."""
+    from diffusionsat_tpu.graph.dense_batch import densify_batches_quantized
+
+    bucket = BucketSpec(max_vars=512, max_clauses=2048, max_edges=8192,
+                        max_graphs=64)
+    rng = np.random.default_rng(0)
+    small, ssols = _random_formulas(rng, 3, min_vars=3, max_vars=7)
+    big_formulas = small * 15
+    big_sols = ssols * 15
+    flats = [build_batch(small, bucket, solutions=ssols),
+             build_batch(big_formulas, bucket, solutions=big_sols)]
+    denses = densify_batches_quantized(flats, g_quantum=8)
+    assert (denses[0].Vg, denses[0].Cg) == (denses[1].Vg, denses[1].Cg)
+    # 3 graphs -> G=8; 45 graphs -> G=48, not both padded to 48
+    assert denses[0].G == 8
+    assert denses[1].G == 48
+    for f, d in zip(flats, denses):
+        assert float(np.sum(d.incidence)) == float(np.sum(f.edge_mask_c))
+
+
 def test_densify_batches_shared_dims():
     rng = np.random.default_rng(9)
     bucket = BucketSpec(max_vars=64, max_clauses=256, max_edges=1024,
