@@ -3,19 +3,22 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}. The metric is message-passing edge throughput
 (edges/s/chip) over the full jitted train step at the reference's standard
-workload shape: hard 3-SAT packed to the 20k node budget, 32 rounds
-(reference config.py:24-35, model/query_sat.py:89), executed on the dense
-per-graph block path (graph/dense_batch.py) — the layout the flagship
-training driver uses on this workload.
+workload: hard 3-SAT packed to the 20k node budget, 32 rounds (reference
+config.py:24-35, model/query_sat.py:89), *size-sorted* packing exactly as
+the reference pipeline batches instances (reference data/dimac.py:267),
+executed on the dense per-graph block path with quantized per-batch block
+dims (graph/dense_batch.py) — the layout and batch stream the flagship
+training driver runs on this workload. The bench cycles through the
+packed batches like a training epoch and reports aggregate edge
+throughput.
 
 Roofline note (v5e, measured round 2): the dense step turns every graph
 aggregation into batched matmuls, so the old "SpMM speed-of-light" framing
-collapses into plain matmul efficiency. Measured 86 ms/step at this
-workload = ~1.6 TFLOP of matmul work -> ~19 TFLOP/s sustained, ~40% of
-the chip's f32 matmul peak (~49 TFLOP/s) — the residual gap is small-row
-matmuls (G*Vg ~ 5-12k rows) and the elementwise round body, not memory
-traffic. The flat edge-list path measured 228 ms on the same workload
-(benchmarks/bench_dense.py reproduces both).
+collapses into plain matmul efficiency. At ~86 ms/step on the mixed-batch
+variant the step sustained ~19 TFLOP/s of matmul work, ~40% of the chip's
+f32 matmul peak (~49 TFLOP/s) — the residual gap is small-row matmuls and
+the elementwise round body, not memory traffic. Ablations incl. the
+single mixed batch and the flat edge-list path: benchmarks/bench_dense.py.
 
 vs_baseline: the reference TF2 code publishes no numbers (BASELINE.md) and
 TF2 is not installed here; the baseline constant is an estimate of the
@@ -32,12 +35,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _matmul_macs(cfg, G, Vg, Cg):
+    """Per-round matmul MAC count for one dense block shape."""
+    f, q, h = cfg.feature_maps, cfg.query_maps, cfg.logit_maps
+    v1 = f + 4 + cfg.label_channels
+    mlp_macs_per_row = {
+        "query": v1 * int(q * cfg.query_scale) + int(q * cfg.query_scale) * q,
+        "lit": v1 * 4 * q + (4 * q) ** 2 // 4 + 4 * q * 2 * q,
+        "update": (q + v1 + 2 * q) * int(f * cfg.update_scale)
+        + int(f * cfg.update_scale) ** 2
+        + int(f * cfg.update_scale) * f,
+        "out": f * int(f * cfg.output_scale) + int(f * cfg.output_scale) * h,
+    }
+    clause_macs = (f + 2 * q) * int(f * cfg.clauses_scale) \
+        + int(f * cfg.clauses_scale) ** 2 \
+        + int(f * cfg.clauses_scale) * (f + q)
+    einsum_macs = 4 * G * Cg * 2 * Vg * q
+    return (G * Vg * sum(mlp_macs_per_row.values())
+            + G * Cg * clause_macs + einsum_macs)
+
+
 def main():
     import os
 
-    from diffusionsat_tpu.data.bench_workloads import threshold_3sat_batch
+    from diffusionsat_tpu.data.bench_workloads import (
+        threshold_3sat_batch, threshold_3sat_batches_sorted)
     from diffusionsat_tpu.graph.batch import BucketSpec
-    from diffusionsat_tpu.graph.dense_batch import densify_batches
+    from diffusionsat_tpu.graph.dense_batch import densify_batches_quantized
     from diffusionsat_tpu.models.query_sat import (
         QuerySATConfig, query_sat_init)
     from diffusionsat_tpu.models.query_sat_dense import query_sat_dense_apply
@@ -49,9 +73,10 @@ def main():
     profile_dir = os.environ.get("DSAT_PROFILE_DIR")
 
     rng = np.random.default_rng(0)
-    # reference workload: max_nodes_per_batch=20k (config.py:35)
-    bucket = BucketSpec.for_node_budget(20_000, max_graphs=512)
-    batch, real_edges = threshold_3sat_batch(rng, 20_000, bucket=bucket)
+    # reference workload: max_nodes_per_batch=20k (config.py:35),
+    # size-sorted packing (reference data/dimac.py:267)
+    n_batches = 6
+    packed = threshold_3sat_batches_sorted(rng, 20_000, n_batches)
 
     cfg = QuerySATConfig()  # full-size: 128 feature/query maps, 32 rounds
     params = query_sat_init(jax.random.key(0), cfg)
@@ -59,39 +84,49 @@ def main():
     state = TrainState(params=params, opt_state=opt.init(params),
                        step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
 
-    # dense per-graph block path (the flagship training configuration);
-    # flat fallback off-TPU or if a graph exceeds the block dims
+    # dense per-graph block path with quantized per-batch dims (the
+    # flagship training configuration); flat fallback off-TPU or if a
+    # graph exceeds the block dims
     variant = "dense"
     try:
         dense_ops.INCIDENCE_PRECISION = jax.lax.Precision.DEFAULT
-        dense = densify_batches([batch])[0]
+        denses = densify_batches_quantized([b for b, _ in packed])
         train_step = make_train_step_for(query_sat_dense_apply, cfg, opt)
-        bench_batch = dense
+        bench_batches = denses
+        edge_counts = [e for _, e in packed]
     except ValueError:
         variant = "flat"
+        bucket = BucketSpec.for_node_budget(20_000, max_graphs=512)
+        batch, real_edges = threshold_3sat_batch(rng, 20_000, bucket=bucket)
         train_step = make_train_step(cfg, opt)
-        bench_batch = batch
+        bench_batches = [batch]
+        edge_counts = [real_edges]
 
-    # warmup / compile; NB fetch a value to the host — through the axon
-    # tunnel block_until_ready alone does not wait for execution
-    state, out = train_step(state, bench_batch)
+    # warmup / compile each shape; NB fetch a value to the host — through
+    # the axon tunnel block_until_ready alone does not wait for execution
+    for b in bench_batches:
+        state, out = train_step(state, b)
     float(out["loss"])
 
-    # steady-state pipelined throughput: steps chain through the state
-    # dependency; one host sync at the end covers the whole chain
+    # steady-state pipelined throughput over the batch stream: steps chain
+    # through the state dependency; one host sync at the end covers the
+    # whole chain
     if profile_dir:  # optional jax.profiler trace (DSAT_PROFILE_DIR=...)
         try:
             jax.profiler.start_trace(profile_dir)
         except Exception as e:
             print(f"profiler unavailable: {e}")
             profile_dir = None
-    iters = 15
+    cycles = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, out = train_step(state, bench_batch)
+    for _ in range(cycles):
+        for b in bench_batches:
+            state, out = train_step(state, b)
     float(out["loss"])
     float(jnp.sum(jax.tree.leaves(state.params)[0]))
-    dt = (time.perf_counter() - t0) / iters
+    elapsed = time.perf_counter() - t0
+    n_steps = cycles * len(bench_batches)
+    dt = elapsed / n_steps
     if profile_dir:
         try:
             jax.profiler.stop_trace()
@@ -101,7 +136,7 @@ def main():
     rounds = cfg.train_rounds
     # each round moves every edge 2x (lit->clause, clause->lit) in fwd,
     # and again in bwd; count fwd message-passing edge traversals only
-    edges_per_step = real_edges * 2 * rounds
+    edges_per_step = sum(edge_counts) / len(edge_counts) * 2 * rounds
     edges_per_sec = edges_per_step / dt
 
     # reference-equivalent estimate (the reference publishes no numbers,
@@ -116,34 +151,22 @@ def main():
         "vs_baseline": round(edges_per_sec / baseline_edges_per_sec, 3),
         "step_time_ms": round(dt * 1e3, 2),
         "variant": variant,
-        "edges": real_edges,
-        "vars": int(batch.n_vars),
-        "clauses": int(batch.n_clauses),
-        "graphs": int(batch.n_graphs),
+        "packing": "size-sorted" if variant == "dense" else "mixed",
+        "edges": int(sum(edge_counts) / len(edge_counts)),
+        "vars": int(np.mean([int(b.n_vars) for b, _ in packed])) if
+        variant == "dense" else int(bench_batches[0].n_vars),
+        "clauses": int(np.mean([int(b.n_clauses) for b, _ in packed])) if
+        variant == "dense" else int(bench_batches[0].n_clauses),
+        "graphs": int(np.mean([int(b.n_graphs) for b, _ in packed])) if
+        variant == "dense" else int(bench_batches[0].n_graphs),
         "rounds": rounds,
     }
     if variant == "dense":
+        out["shapes"] = sorted({(d.G, d.Vg, d.Cg) for d in denses})
         # matmul roofline accounting (see module docstring)
-        G, Vg, Cg = bench_batch.G, bench_batch.Vg, bench_batch.Cg
-        f, q, h = cfg.feature_maps, cfg.query_maps, cfg.logit_maps
-        v1 = f + 4 + cfg.label_channels
-        mlp_macs_per_row = {
-            "query": v1 * int(q * cfg.query_scale) + int(q * cfg.query_scale) * q,
-            "lit": v1 * 4 * q + (4 * q) ** 2 // 4 + 4 * q * 2 * q,
-            "update": (q + v1 + 2 * q) * int(f * cfg.update_scale)
-            + int(f * cfg.update_scale) ** 2
-            + int(f * cfg.update_scale) * f,
-            "out": f * int(f * cfg.output_scale) + int(f * cfg.output_scale) * h,
-        }
-        var_rows, clause_rows = G * Vg, G * Cg
-        clause_macs = (f + 2 * q) * int(f * cfg.clauses_scale) \
-            + int(f * cfg.clauses_scale) ** 2 \
-            + int(f * cfg.clauses_scale) * (f + q)
-        einsum_macs = 4 * G * Cg * 2 * Vg * q
-        macs_per_round = (
-            var_rows * sum(mlp_macs_per_row.values())
-            + clause_rows * clause_macs + einsum_macs)
-        flops_per_step = macs_per_round * 2 * rounds * 3  # fwd + ~2x bwd
+        macs = sum(_matmul_macs(cfg, d.G, d.Vg, d.Cg) for d in denses) \
+            / len(denses)
+        flops_per_step = macs * 2 * rounds * 3  # fwd + ~2x bwd
         out["matmul_tflops_per_step"] = round(flops_per_step / 1e12, 3)
         out["sustained_tflops"] = round(flops_per_step / dt / 1e12, 2)
         out["pct_f32_matmul_peak"] = round(
