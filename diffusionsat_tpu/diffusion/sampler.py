@@ -290,15 +290,25 @@ class DiffusionSampler:
                         ) -> "DiffusionSampler":
         """Reference-style constructor (satuniformity/DiffusionSampler.py:197:
         `DiffusionSampler(model_path, dimacs)`): restore the newest
-        checkpoint in `model_path` and sample the given DIMACS formula."""
+        checkpoint in `model_path` — or a portable `.npz` params file
+        written by `train.checkpoint.export_params` (the pretrained-model
+        distribution format) — and sample the given DIMACS formula."""
         import jax.numpy as jnp
 
         from diffusionsat_tpu.models.query_sat import query_sat_init
         from diffusionsat_tpu.train.adabelief import adabelief
-        from diffusionsat_tpu.train.checkpoint import CheckpointManager
+        from diffusionsat_tpu.train.checkpoint import (
+            CheckpointManager,
+            load_params,
+        )
         from diffusionsat_tpu.train.loop import TrainState
 
         cfg = cfg or QuerySATConfig(test_rounds=32)
+        if str(model_path).endswith(".npz"):
+            params, _meta = load_params(model_path)
+            cnf = CNF.load(dimacs_filename)
+            return cls(jax.device_put(params, jax.devices()[0]),
+                       cfg, cnf, **kwargs)
         with jax.default_device(jax.devices("cpu")[0]):
             params = query_sat_init(jax.random.key(0), cfg)
             opt = adabelief()

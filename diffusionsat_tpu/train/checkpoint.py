@@ -17,6 +17,67 @@ import orbax.checkpoint as ocp
 from diffusionsat_tpu.train.loop import TrainState
 
 
+def _flatten_params(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_params(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_params(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_params(flat: dict[str, np.ndarray]) -> Any:
+    nested: dict = {}
+    for path, arr in flat.items():
+        node = nested
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = arr
+
+    def finalize(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [finalize(node[k]) for k in sorted(node, key=int)]
+        return {k: finalize(v) for k, v in node.items()}
+
+    return finalize(nested)
+
+
+def export_params(params: Any, path: str | Path,
+                  meta: dict | None = None) -> None:
+    """Write a params pytree to one portable compressed `.npz` file.
+
+    The distribution format for pretrained models (the reference ships
+    its pretrained checkpoints as downloadable archives, `README.md:38-40`):
+    a few-MB self-contained file that `load_params` restores without
+    orbax, without an optimizer template, and without knowing the pytree
+    structure up front. Supports dict/list/tuple nesting with array
+    leaves (tuples come back as lists); dict keys must not be all-digit
+    strings (they would be read back as list indices).
+    """
+    flat = _flatten_params(params)
+    import json
+
+    np.savez_compressed(
+        Path(path), __meta__=np.asarray(json.dumps(meta or {})), **flat)
+
+
+def load_params(path: str | Path) -> tuple[Any, dict]:
+    """Load `(params, meta)` from an `export_params` file."""
+    import json
+
+    with np.load(Path(path)) as z:
+        meta = json.loads(str(z["__meta__"]))
+        flat = {k: z[k] for k in z.files if k != "__meta__"}
+    return _unflatten_params(flat), meta
+
+
 class CheckpointManager:
     def __init__(self, directory: str | Path, max_to_keep: int = 3):
         self.directory = Path(directory).absolute()

@@ -102,3 +102,34 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_export_params_roundtrip(tmp_path):
+    from diffusionsat_tpu.train.checkpoint import export_params, load_params
+
+    params = query_sat_init(jax.random.key(3), CFG)
+    path = tmp_path / "pretrained.npz"
+    export_params(params, path, meta={"model": "query_sat", "step": 42})
+    loaded, meta = load_params(path)
+    assert meta == {"model": "query_sat", "step": 42}
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: 0, loaded)) == jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: 0, params))
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sampler_from_npz_params(tmp_path):
+    from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
+    from diffusionsat_tpu.train.checkpoint import export_params
+
+    params = query_sat_init(jax.random.key(5), CFG)
+    path = tmp_path / "m.npz"
+    export_params(params, path, meta={"model": "query_sat"})
+    dimacs = tmp_path / "f.cnf"
+    dimacs.write_text("p cnf 2 2\n1 2 0\n-1 2 0\n")
+    sampler = DiffusionSampler.from_checkpoint(
+        str(path), str(dimacs), cfg=CFG, diffusion_steps=4,
+        graphs_per_batch=4)
+    counts = sampler.samples(4, max_batches=2)
+    assert all(isinstance(k, int) for k in counts)
