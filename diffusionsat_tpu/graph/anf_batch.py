@@ -83,6 +83,11 @@ def build_anf_batch(systems: Sequence[tuple[int, Sequence[Sequence[Term]]]],
 
     Each equation is a list of terms; duplicate AND pairs within a system
     share one AND node (reference sha_anf builds a pair->node map).
+
+    Returns HOST-side numpy arrays (design invariant: batches are numpy
+    pytrees; device transfer happens once, at the jitted call or an
+    explicit up-front device_put). Building thousands of batches as
+    device arrays would round-trip the axon tunnel per array.
     """
     V, A, C, E, G = (bucket.max_vars, bucket.max_ands, bucket.max_clauses,
                      bucket.max_edges, bucket.max_graphs)
@@ -165,25 +170,25 @@ def build_anf_batch(systems: Sequence[tuple[int, Sequence[Sequence[Term]]]],
     graph_mask[:n_graphs] = 1.0
 
     return ANFBatch(
-        and1=jnp.asarray(and1), and2=jnp.asarray(and2),
-        and_mask=jnp.asarray(and_mask),
-        edge_node_c=jnp.asarray(pad(en[order_c], E, V + A)),
-        edge_clause_c=jnp.asarray(pad(ec[order_c], E, C - 1)),
-        edge_mask_c=jnp.asarray(emask),
-        edge_node_n=jnp.asarray(pad(en[order_c][order_n], E, V + A)),
-        edge_clause_n=jnp.asarray(pad(ec[order_c][order_n], E, C - 1)),
-        edge_mask_n=jnp.asarray(emask),
-        var_mask=jnp.asarray(var_mask),
-        clause_mask=jnp.asarray(clause_mask),
-        var_graph=jnp.asarray(var_graph),
-        clause_graph=jnp.asarray(clause_graph),
-        graph_mask=jnp.asarray(graph_mask),
-        n_vars_per_graph=jnp.asarray(nvpg),
-        n_clauses_per_graph=jnp.asarray(ncpg),
-        solutions=jnp.asarray(sols),
-        n_vars=jnp.asarray(v_off, jnp.int32),
-        n_clauses=jnp.asarray(c_off, jnp.int32),
-        n_graphs=jnp.asarray(n_graphs, jnp.int32),
+        and1=np.asarray(and1), and2=np.asarray(and2),
+        and_mask=np.asarray(and_mask),
+        edge_node_c=np.asarray(pad(en[order_c], E, V + A)),
+        edge_clause_c=np.asarray(pad(ec[order_c], E, C - 1)),
+        edge_mask_c=np.asarray(emask),
+        edge_node_n=np.asarray(pad(en[order_c][order_n], E, V + A)),
+        edge_clause_n=np.asarray(pad(ec[order_c][order_n], E, C - 1)),
+        edge_mask_n=np.asarray(emask),
+        var_mask=np.asarray(var_mask),
+        clause_mask=np.asarray(clause_mask),
+        var_graph=np.asarray(var_graph),
+        clause_graph=np.asarray(clause_graph),
+        graph_mask=np.asarray(graph_mask),
+        n_vars_per_graph=np.asarray(nvpg),
+        n_clauses_per_graph=np.asarray(ncpg),
+        solutions=np.asarray(sols),
+        n_vars=np.asarray(v_off, np.int32),
+        n_clauses=np.asarray(c_off, np.int32),
+        n_graphs=np.asarray(n_graphs, np.int32),
     )
 
 
