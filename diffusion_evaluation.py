@@ -78,21 +78,12 @@ def main(argv=None):
 
     diffusion_counts = None
     if args.model_ckpt:
-        from diffusionsat_tpu.train.adabelief import adabelief
-        from diffusionsat_tpu.train.checkpoint import CheckpointManager
-        from diffusionsat_tpu.train.loop import TrainState
+        from diffusionsat_tpu.train.checkpoint import restore_model_params
 
         cfg = QuerySATConfig(test_rounds=args.test_rounds)
-        params = query_sat_init(jax.random.key(0), cfg)
-        opt = adabelief()
-        template = TrainState(params=params, opt_state=opt.init(params),
-                              step=jnp.zeros((), jnp.int32),
-                              key=jax.random.key(0))
-        restored = CheckpointManager(args.model_ckpt).restore(template)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoint in {args.model_ckpt}")
         sampler = DiffusionSampler(
-            restored.params, cfg, cnf,
+            restore_model_params(args.model_ckpt, query_sat_init, cfg),
+            cfg, cnf,
             diffusion_steps=args.diffusion_steps,
             test_rounds=args.test_rounds)
         diffusion_counts, stats = run_sampler("diffusion", sampler, n_samples)

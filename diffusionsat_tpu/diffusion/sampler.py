@@ -293,33 +293,13 @@ class DiffusionSampler:
         checkpoint in `model_path` — or a portable `.npz` params file
         written by `train.checkpoint.export_params` (the pretrained-model
         distribution format) — and sample the given DIMACS formula."""
-        import jax.numpy as jnp
-
         from diffusionsat_tpu.models.query_sat import query_sat_init
-        from diffusionsat_tpu.train.adabelief import adabelief
-        from diffusionsat_tpu.train.checkpoint import (
-            CheckpointManager,
-            load_params,
-        )
-        from diffusionsat_tpu.train.loop import TrainState
+        from diffusionsat_tpu.train.checkpoint import restore_model_params
 
         cfg = cfg or QuerySATConfig(test_rounds=32)
-        if str(model_path).endswith(".npz"):
-            params, _meta = load_params(model_path)
-            cnf = CNF.load(dimacs_filename)
-            return cls(jax.device_put(params, jax.devices()[0]),
-                       cfg, cnf, **kwargs)
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = query_sat_init(jax.random.key(0), cfg)
-            opt = adabelief()
-            template = TrainState(params=params, opt_state=opt.init(params),
-                                  step=jnp.zeros((), jnp.int32),
-                                  key=jax.random.key(0))
-        restored = CheckpointManager(model_path).restore(template)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoint in {model_path}")
+        params = restore_model_params(model_path, query_sat_init, cfg)
         cnf = CNF.load(dimacs_filename)
-        return cls(jax.device_put(restored.params, jax.devices()[0]),
+        return cls(jax.device_put(params, jax.devices()[0]),
                    cfg, cnf, **kwargs)
 
     def samples(self, n_samples: int, max_batches: int = 10_000

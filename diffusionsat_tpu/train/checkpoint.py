@@ -78,6 +78,30 @@ def load_params(path: str | Path) -> tuple[Any, dict]:
     return _unflatten_params(flat), meta
 
 
+def restore_model_params(model_ckpt: str | Path, init_fn, cfg) -> Any:
+    """Load model params from an orbax checkpoint dir OR a portable
+    `.npz` pretrained file (export_params). Shared by the sampler and
+    evaluation CLIs so every `--model_ckpt` flag accepts both forms."""
+    if str(model_ckpt).endswith(".npz"):
+        params, _meta = load_params(model_ckpt)
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionsat_tpu.train.adabelief import adabelief
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_fn(jax.random.key(0), cfg)
+        opt = adabelief()
+        template = TrainState(params=params, opt_state=opt.init(params),
+                              step=jnp.zeros((), jnp.int32),
+                              key=jax.random.key(0))
+    restored = CheckpointManager(model_ckpt).restore(template)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {model_ckpt}")
+    return restored.params
+
+
 class CheckpointManager:
     def __init__(self, directory: str | Path, max_to_keep: int = 3):
         self.directory = Path(directory).absolute()

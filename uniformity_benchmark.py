@@ -109,22 +109,12 @@ def main(argv=None):
     if args.model_ckpt:
         from diffusionsat_tpu.models.query_sat import (
             QuerySATConfig, query_sat_init)
-        from diffusionsat_tpu.train.adabelief import adabelief
-        from diffusionsat_tpu.train.checkpoint import CheckpointManager
-        from diffusionsat_tpu.train.loop import TrainState
+        from diffusionsat_tpu.train.checkpoint import restore_model_params
 
         cfg = QuerySATConfig(test_rounds=args.test_rounds)
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = query_sat_init(jax.random.key(0), cfg)
-            opt = adabelief()
-            template = TrainState(params=params, opt_state=opt.init(params),
-                                  step=jnp.zeros((), jnp.int32),
-                                  key=jax.random.key(0))
-        restored = CheckpointManager(args.model_ckpt).restore(template)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoint in {args.model_ckpt}")
-        print(f"restored step {int(restored.step)}", flush=True)
-        diffusion_params = restored.params
+        diffusion_params = restore_model_params(args.model_ckpt,
+                                                query_sat_init, cfg)
+        print("model params restored", flush=True)
 
     store = BenchmarksFile(args.out)
     agg: dict[str, list] = {}
