@@ -133,3 +133,24 @@ def test_sampler_from_npz_params(tmp_path):
         graphs_per_batch=4)
     counts = sampler.samples(4, max_batches=2)
     assert all(isinstance(k, int) for k in counts)
+
+
+def test_pretrained_artifacts():
+    """Validate every committed pretrained npz (pretrained/README.md):
+    loads without orbax, meta names a registered model, finite leaves."""
+    import pathlib
+
+    import pytest
+
+    from diffusionsat_tpu.train.checkpoint import load_params
+
+    files = sorted(pathlib.Path("pretrained").glob("*.npz"))
+    if not files:
+        pytest.skip("no pretrained artifacts committed")
+    for f in files:
+        params, meta = load_params(f)
+        assert meta.get("model") in {"query_sat", "anf_sat"}, f
+        assert meta.get("step", 0) > 0, f
+        leaves = jax.tree.leaves(params)
+        assert leaves, f
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves), f
