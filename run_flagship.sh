@@ -1,7 +1,9 @@
 #!/bin/bash
 # Flagship 167k-step diffusion run (reference schedule, config.py:24) with
-# restart-on-failure and a hard wall-clock deadline so the TPU is released
-# before the round's final bench.
+# restart-on-failure, a hang watchdog (tunnel device acquisition can
+# deadlock silently — kill and retry if the JSONL log goes stale), and a
+# hard wall-clock deadline so the TPU is released before the round's
+# final bench.
 #
 #   DEADLINE_S=14400 nohup bash run_flagship.sh > runs_flagship/flagship.log 2>&1 &
 #
@@ -10,8 +12,11 @@ set -u
 STEPS=${STEPS:-167000}
 TRAIN_SIZE=${TRAIN_SIZE:-60000}
 DEADLINE_S=${DEADLINE_S:-14400}
+STARTUP_GRACE_S=${STARTUP_GRACE_S:-1500}
+STALE_S=${STALE_S:-900}
 CKPT=${CKPT:-}
 START=$(date +%s)
+mkdir -p runs_flagship
 for i in $(seq 1 20); do
   left=$((DEADLINE_S - ($(date +%s) - START)))
   if [ "$left" -le 120 ]; then
@@ -25,15 +30,38 @@ for i in $(seq 1 20); do
         --incidence_precision default
         --label flagship167k --train_dir runs_flagship)
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
-  timeout "$left" python diffusion_training.py "${args[@]}"
-  code=$?
-  if [ $code -eq 0 ]; then
+  attempt_start=$(date +%s)
+  timeout "$left" python diffusion_training.py "${args[@]}" &
+  pid=$!
+  code=""
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    now=$(date +%s)
+    log=$(ls -t runs_flagship/query_sat_3-sat_flagship167k_*/train_log.jsonl 2>/dev/null | head -1)
+    # a log older than this attempt belongs to a previous attempt
+    if [ -n "$log" ] && [ "$(stat -c %Y "$log")" -ge "$attempt_start" ]; then
+      age=$((now - $(stat -c %Y "$log")))
+    else
+      age=$((now - attempt_start))
+      [ "$age" -lt "$STARTUP_GRACE_S" ] && age=0
+    fi
+    if [ "$age" -gt "$STALE_S" ]; then
+      echo "=== watchdog: no progress for ${age}s; killing $pid ($(date -u)) ==="
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      code=124
+      break
+    fi
+  done
+  if [ -z "$code" ]; then
+    wait "$pid"; code=$?
+  fi
+  if [ "$code" -eq 0 ]; then
     echo "=== flagship finished cleanly ($(date -u)) ==="
     break
   fi
   if [ -z "$CKPT" ]; then
     CKPT=$(ls -dt runs_flagship/query_sat_3-sat_flagship167k_*/ckpt 2>/dev/null | head -1)
   fi
-  echo "=== exited with $code; restarting from $CKPT ==="
+  echo "=== exited with $code; restarting from ${CKPT:-scratch} ==="
   sleep 10
 done
