@@ -97,15 +97,15 @@ def main():
 
     # --- DP weak scaling ---------------------------------------------------
     batches = []
-    edges = 0
+    per_batch_edges = []
     for _ in range(n_dev):
         b, e = threshold_3sat_batch(
             np.random.default_rng(rng.integers(1e9)), args.budget,
             min_vars=8, max_vars=24, max_graphs=256)
         batches.append(b)
-        edges = max(edges, e)
+        per_batch_edges.append(e)
     t1 = time_steps(make_train_step(cfg, opt), fresh(), batches[0])
-    base_tput = edges * 2 * args.rounds / t1
+    base_tput = per_batch_edges[0] * 2 * args.rounds / t1
     dp = {"1": {"step_ms": round(t1 * 1e3, 1), "edges_per_sec_M":
                 round(base_tput / 1e6, 3), "efficiency": 1.0}}
     for n in (2, 4, 8):
@@ -115,7 +115,8 @@ def main():
         step = make_dp_train_step(cfg, opt, mesh)
         stacked = shard_stacked_batch(stack_batches(batches[:n]), mesh)
         t = time_steps(step, fresh(), stacked)
-        tput = n * edges * 2 * args.rounds / t
+        # actual edge work across the n device batches, not n * max
+        tput = sum(per_batch_edges[:n]) * 2 * args.rounds / t
         dp[str(n)] = {"step_ms": round(t * 1e3, 1),
                       "edges_per_sec_M": round(tput / 1e6, 3),
                       "efficiency_vs_shared_core_bound":

@@ -135,6 +135,14 @@ def main(argv=None):
                 dense_batches = [jax.device_put(b, dev)
                                  for b in dense_batches]
                 print("train batches device-cached", flush=True)
+            elif cfg.n_devices > 1 and jax.default_backend() == "tpu":
+                # DP re-uploads host batches per step; through the axon
+                # tunnel that leaks ~uploaded-bytes of host memory per
+                # device_put (CLAUDE.md) — fine for short runs, OOM risk
+                # on 100k+-step runs until per-device caching lands
+                print("WARNING: DP path uploads batches per step; long "
+                      "runs on the tunneled TPU leak host memory",
+                      flush=True)
             train_stream = PackedBatches(dense_batches, seed=cfg.seed)
             train_step = make_train_step_for(query_sat_dense_apply,
                                              model_cfg, optimizer)

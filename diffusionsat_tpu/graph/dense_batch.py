@@ -175,18 +175,12 @@ def densify_batches_quantized(batches, g_quantum: int = 32
             f"graph with {maxv} vars / {maxc} clauses exceeds the dense "
             f"block levels (max {_DIM_LEVELS[-1]}); use the flat layout")
 
-    per_batch = []
-    g_for_level: dict[tuple[int, int], int] = {}
+    out = []
     for b in batches:
         ng = int(b.n_graphs)
         maxv = int(np.max(np.asarray(b.n_vars_per_graph), initial=1))
         maxc = int(np.max(np.asarray(b.n_clauses_per_graph), initial=1))
         lv = level_for(maxv, maxc)
-        per_batch.append((b, lv, ng))
-        g_for_level[lv] = max(g_for_level.get(lv, 1), ng)
-    out = []
-    for b, lv, ng in per_batch:
-        G = min(_round_up(ng, g_quantum),
-                _round_up(g_for_level[lv], g_quantum))
-        out.append(dense_from_flat(b, G, lv[0], lv[1]))
+        out.append(dense_from_flat(b, _round_up(ng, g_quantum),
+                                   lv[0], lv[1]))
     return out

@@ -186,14 +186,14 @@ class UniformSampler(SatSolver):
         self.seed = seed
         # formula-static enumeration cache: repeated samples() calls on
         # the same DIMACS (the uniformity benchmark pattern) enumerate once
-        self._enum_cache: dict[int, tuple[np.ndarray, bool]] = {}
+        self._enum_cache: dict[str, tuple[np.ndarray, bool]] = {}
         self._rng = np.random.default_rng(seed)
 
     def multiple_samples(self, dimacs: str, n_samples: int
                          ) -> tuple[bool, list[list[int]]]:
         cnf = CNF.from_string(dimacs)
         clauses, n_vars = cnf.clauses(), cnf.number_of_vars()
-        key = hash(dimacs)
+        key = dimacs  # the string itself: hash() can collide
         if key in self._enum_cache:
             models, complete = self._enum_cache[key]
         else:

@@ -209,6 +209,11 @@ class HashUniformSampler(SatSolver):
                 out.append(cell[rng.integers(0, len(cell))])
         if not out:
             return None
+        if len(out) < n_samples:
+            # no-silent-caps: padding duplicates already-drawn samples,
+            # over-weighting their cells — make the shortfall visible
+            print(f"[xor_hash] cell sampling shortfall: {len(out)}/"
+                  f"{n_samples} drawn; padding by resampling", flush=True)
         while len(out) < n_samples:  # pad from what we have
             out.append(out[rng.integers(0, len(out))])
         return np.asarray(out[:n_samples], dtype=np.uint8)

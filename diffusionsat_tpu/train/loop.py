@@ -15,6 +15,7 @@ from typing import Any, Callable, Iterator
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -136,10 +137,13 @@ def make_diagnostics_step(cfg, apply_fn: Callable = query_sat_apply):
         return loss, steps, stats, grad_norms
 
     def run(params, batch, key: jax.Array) -> dict:
-        loss, steps, stats, grad_norms = diag(params, batch, key)
+        # ONE host fetch for the whole diagnostics pytree — per-element
+        # float() would cost a ~30 ms tunnel round-trip each (~224/eval)
+        loss, steps, stats, grad_norms = jax.device_get(
+            diag(params, batch, key))
         out = {"diag_loss": float(loss), "diag_steps": int(steps)}
         for k, v in stats.items():
-            out[f"round/{k}"] = [round(float(x), 5) for x in v]
+            out[f"round/{k}"] = [round(float(x), 5) for x in np.asarray(v)]
         for k, v in grad_norms.items():
             out[k] = float(v)
         return out
@@ -270,7 +274,9 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
         # host round-trip on remote accelerators; sync only when logging
         window_losses.append(out["loss"])
         if (i + 1) % log_every == 0:
-            window_losses = [float(l) for l in window_losses]
+            # one batched host fetch for the window, not one per scalar
+            window_losses = [float(l)
+                             for l in jax.device_get(window_losses)]
             step = int(state.step)
             dt = time.time() - t0
             t0 = time.time()

@@ -27,7 +27,7 @@ for i in $(seq 1 20); do
         --cosine --label flagship160k --train_dir runs_anf)
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
   attempt_start=$(date +%s)
-  timeout "$left" python anf_training.py "${args[@]}" &
+  setsid timeout -k 60 "$left" python anf_training.py "${args[@]}" &
   pid=$!
   code=""
   while kill -0 "$pid" 2>/dev/null; do
@@ -43,7 +43,7 @@ for i in $(seq 1 20); do
     fi
     if [ "$age" -gt "$STALE_S" ]; then
       echo "=== watchdog: no progress for ${age}s; killing $pid ($(date -u)) ==="
-      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      kill -- -"$pid" 2>/dev/null; sleep 10; kill -9 -- -"$pid" 2>/dev/null
       code=124
       break
     fi

@@ -31,7 +31,7 @@ for i in $(seq 1 20); do
         --label flagship167k --train_dir runs_flagship)
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
   attempt_start=$(date +%s)
-  timeout "$left" python diffusion_training.py "${args[@]}" &
+  setsid timeout -k 60 "$left" python diffusion_training.py "${args[@]}" &
   pid=$!
   code=""
   while kill -0 "$pid" 2>/dev/null; do
@@ -47,7 +47,7 @@ for i in $(seq 1 20); do
     fi
     if [ "$age" -gt "$STALE_S" ]; then
       echo "=== watchdog: no progress for ${age}s; killing $pid ($(date -u)) ==="
-      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      kill -- -"$pid" 2>/dev/null; sleep 10; kill -9 -- -"$pid" 2>/dev/null
       code=124
       break
     fi

@@ -59,15 +59,20 @@ def main(argv=None):
 
     # later files override earlier ones per (formula geometry, sampler):
     # a latefreeze-only rerun merges into the full-suite records
-    per_sampler: dict[str, list[dict]] = defaultdict(list)
+    merged: dict[tuple, dict] = {}
     for path in args.files:
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
+                fkey = (rec.get("formula"), rec.get("n_vars"),
+                        rec.get("n_clauses"), rec.get("n_solutions"))
                 for name in rec:
                     st = record_stats(rec, name)
                     if st is not None:
-                        per_sampler[name].append(st)
+                        merged[(fkey, name)] = st
+    per_sampler: dict[str, list[dict]] = defaultdict(list)
+    for (_fkey, name), st in merged.items():
+        per_sampler[name].append(st)
 
     summary = {}
     hdr = (f"{'sampler':24s} {'n':>3s} {'diversity':>9s} {'TVD':>6s} "
