@@ -1,0 +1,81 @@
+"""Definitive ANFSAT evaluation: full held-out set from a checkpoint.
+
+    python anf_eval.py --ckpt runs_anf/.../ckpt            # orbax dir
+    python anf_eval.py --ckpt pretrained/anf_sat_sha1_r17.npz
+
+Rebuilds the same cached dataset as anf_training.py (same flags) and
+evaluates EVERY test batch — the in-training eval subsamples 16 batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from diffusionsat_tpu.data.anf_datasets import AnfDataset
+from diffusionsat_tpu.data.sha_anf import Sha1AnfInstances
+from diffusionsat_tpu.graph.anf_batch import ANFBucket
+from diffusionsat_tpu.models.anf_sat import (
+    ANFSATConfig,
+    anf_sat_apply,
+    anf_sat_init,
+)
+from diffusionsat_tpu.train.checkpoint import restore_model_params
+from diffusionsat_tpu.train.loop import evaluate_metrics
+from diffusionsat_tpu.train.metrics import ANFAccuracy
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--rounds", type=int, default=17)
+    p.add_argument("--min_free_bits", type=int, default=2)
+    p.add_argument("--max_free_bits", type=int, default=20)
+    p.add_argument("--train_size", type=int, default=8000)
+    p.add_argument("--test_size", type=int, default=256)
+    p.add_argument("--test_rounds", type=int, default=32)
+    p.add_argument("--feature_maps", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_vars", type=int, default=8192)
+    p.add_argument("--max_ands", type=int, default=16384)
+    p.add_argument("--max_clauses", type=int, default=8704)
+    p.add_argument("--max_edges", type=int, default=32768)
+    p.add_argument("--max_graphs", type=int, default=8)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    inst = Sha1AnfInstances(
+        rounds=args.rounds, min_free_bits=args.min_free_bits,
+        max_free_bits=args.max_free_bits, train_size=args.train_size,
+        test_size=args.test_size, seed=args.seed)
+    bucket = ANFBucket(max_vars=args.max_vars, max_ands=args.max_ands,
+                       max_clauses=args.max_clauses,
+                       max_edges=args.max_edges, max_graphs=args.max_graphs)
+    name = (f"sha1anf_r{args.rounds}_fb{args.min_free_bits}_"
+            f"{args.max_free_bits}_{args.train_size}")
+    ds = AnfDataset(inst, bucket, name=name, seed=args.seed)
+    test_batches = ds.test_data()
+    print(f"{len(test_batches)} test batches", flush=True)
+
+    cfg = ANFSATConfig(feature_maps=args.feature_maps,
+                       query_maps=args.feature_maps,
+                       test_rounds=args.test_rounds)
+    params = restore_model_params(args.ckpt, anf_sat_init, cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    if jax.default_backend() == "tpu":
+        dev = jax.devices()[0]
+        test_batches = [jax.device_put(b, dev) for b in test_batches]
+
+    vals = evaluate_metrics(params, cfg, test_batches, [ANFAccuracy()],
+                            jax.random.key(9), apply_fn=anf_sat_apply)
+    print(f"[full testset] {vals}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(vals, f)
+    return vals
+
+
+if __name__ == "__main__":
+    main()

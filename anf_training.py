@@ -126,10 +126,11 @@ def main(argv=None):
 
     step_fn = make_train_step_for(anf_sat_apply, cfg, opt)
 
-    def eval_fn(st):
+    def eval_fn(st, max_batches=16):
         return evaluate_metrics(st.params, cfg, test_batches,
                                 [ANFAccuracy()], jax.random.key(9),
-                                max_batches=16, apply_fn=anf_sat_apply)
+                                max_batches=max_batches,
+                                apply_fn=anf_sat_apply)
 
     state = train(state, step_fn, ds.repeat_shuffled(train_batches),
                   steps=max(args.train_steps - int(state.step), 0),
@@ -138,8 +139,10 @@ def main(argv=None):
                   ckpt_every=args.eval_every * 2,
                   log_file=run_dir / "train_log.jsonl")
     mgr.save(state)
-    final = eval_fn(state)
-    print(f"[final] {final}")
+    # the headline number: evaluate the FULL held-out set, not the
+    # 16-batch in-training subsample
+    final = eval_fn(state, max_batches=None)
+    print(f"[final full-testset] {final}")
     return final
 
 
