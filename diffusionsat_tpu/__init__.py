@@ -21,7 +21,17 @@ import jax as _jax
 _cache_dir = _os.environ.get("DSAT_COMPILATION_CACHE",
                              _os.path.expanduser("~/.cache/jax_dsat"))
 _forced_cpu = "cpu" in (_os.environ.get("JAX_PLATFORM_NAME", "") +
-                        _os.environ.get("JAX_PLATFORMS", ""))
+                        _os.environ.get("JAX_PLATFORMS", "")) \
+    or bool(_os.environ.get("DSAT_FORCE_CPU"))
 if _cache_dir and _cache_dir != "0" and not _forced_cpu:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Hard CPU isolation: the env vars above do NOT stop the axon TPU plugin
+# from initializing its tunnel connection at backend discovery (it ignores
+# JAX_PLATFORMS), and a second tunnel client can deadlock against a
+# running training process. jax.config IS honored (backend selection is
+# lazy — same mechanism tests/conftest.py uses), so CPU-only tooling
+# should run with DSAT_FORCE_CPU=1.
+if _os.environ.get("DSAT_FORCE_CPU"):
+    _jax.config.update("jax_platforms", "cpu")

@@ -99,6 +99,27 @@ DATASET_REGISTRY.register("sha1-anf", _dataset_entry(
     "diffusionsat_tpu.data.sha_anf", "Sha1AnfInstances"))
 
 
+# reference registry spellings (reference registry/registry.py:78-101) as
+# aliases, so commands written against the reference work verbatim
+DATASET_REGISTRY.register("k-sat", _dataset_entry(
+    "diffusionsat_tpu.data.generators", "KSatInstances"))
+DATASET_REGISTRY.register("k_color", _dataset_entry(
+    "diffusionsat_tpu.data.graph_tasks", "KColorInstances"))
+DATASET_REGISTRY.register("dominating_set", _dataset_entry(
+    "diffusionsat_tpu.data.graph_tasks", "DomSetInstances"))
+DATASET_REGISTRY.register("mix_sat", _dataset_entry(
+    "diffusionsat_tpu.data.loaders", "MixedInstances"))
+DATASET_REGISTRY.register("sha-gen", _dataset_entry(
+    "diffusionsat_tpu.data.sha", "Sha1Instances"))
+DATASET_REGISTRY.register("sha-gen2019", _dataset_entry(
+    "diffusionsat_tpu.data.sha", "Sha1Instances"))
+DATASET_REGISTRY.register("sha-anf", _dataset_entry(
+    "diffusionsat_tpu.data.sha_anf", "Sha1AnfInstances"))
+MODEL_REGISTRY.register("simple_neuro_sat", _model_entry(
+    "diffusionsat_tpu.models.neurocore", "NeuroCoreConfig",
+    "neurocore_init", "neurocore_apply"))
+
+
 SOLVER_REGISTRY = Registry("sat_solver")
 SOLVER_REGISTRY.register("cdcl", _dataset_entry(
     "diffusionsat_tpu.sat.solvers", "NativeCDCL"))
@@ -108,3 +129,12 @@ SOLVER_REGISTRY.register("walksat", _dataset_entry(
     "diffusionsat_tpu.sat.solvers", "NativeWalkSAT"))
 SOLVER_REGISTRY.register("unigen", _dataset_entry(
     "diffusionsat_tpu.sat.solvers", "UniformSampler"))
+# reference solver names -> nearest in-process equivalents
+SOLVER_REGISTRY.register("default", _dataset_entry(
+    "diffusionsat_tpu.sat.solvers", "NativeCDCL"))
+SOLVER_REGISTRY.register("lingeling", _dataset_entry(
+    "diffusionsat_tpu.sat.solvers", "NativeCDCL"))
+SOLVER_REGISTRY.register("treengeling", _dataset_entry(
+    "diffusionsat_tpu.sat.solvers", "NativeCDCL"))
+SOLVER_REGISTRY.register("quicksampler", _dataset_entry(
+    "diffusionsat_tpu.sat.solvers", "NativeWalkSAT"))

@@ -70,7 +70,19 @@ def build_instances(cfg):
                              test_size=cfg.test_size, seed=cfg.seed)
     else:
         from diffusionsat_tpu.registry import DATASET_REGISTRY
-        base = DATASET_REGISTRY.resolve(cfg.task)()
+        cls = DATASET_REGISTRY.resolve(cfg.task)
+        # forward the CLI sizes the generator understands — without this a
+        # registry task silently uses its own defaults (e.g. 100k train
+        # instances), ignoring --train_size
+        import inspect
+        common = {"min_vars": cfg.min_vars, "max_vars": cfg.max_vars,
+                  "train_size": cfg.train_size, "test_size": cfg.test_size,
+                  "seed": cfg.seed}
+        try:
+            accepted = set(inspect.signature(cls).parameters)
+        except (TypeError, ValueError):
+            accepted = set()
+        base = cls(**{k: v for k, v in common.items() if k in accepted})
     return DiffusionSatInstances(base, use_unigen=cfg.use_unigen,
                                  seed=cfg.seed)
 
