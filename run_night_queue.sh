@@ -11,7 +11,7 @@
 set -u
 ANF_PID=${1:?usage: run_night_queue.sh <anf_wrapper_pid>}
 DIFF_DEADLINE_S=${DIFF_DEADLINE_S:-12600}
-CPU_ENV="env JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu"
+CPU_ENV="env DSAT_FORCE_CPU=1"
 
 echo "waiting on ANF wrapper pid $ANF_PID ($(date -u))"
 while kill -0 "$ANF_PID" 2>/dev/null; do sleep 60; done
