@@ -13,7 +13,7 @@ STEPS=${STEPS:-167000}
 TRAIN_SIZE=${TRAIN_SIZE:-60000}
 DEADLINE_S=${DEADLINE_S:-14400}
 STARTUP_GRACE_S=${STARTUP_GRACE_S:-1500}
-STALE_S=${STALE_S:-900}
+STALE_S=${STALE_S:-600}
 CKPT=${CKPT:-}
 START=$(date +%s)
 mkdir -p runs_flagship
