@@ -43,6 +43,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
+
+# env vars alone do not stop the preloaded axon plugin from initializing
+# its tunnel backend at discovery; jax.config IS honored (backend
+# selection is lazy — same mechanism as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 # sitecustomize preloads jax before this script's env lines run; the
