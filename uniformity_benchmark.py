@@ -84,6 +84,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_ckpt", default=None)
     p.add_argument("--n_formulas", type=int, default=8)
+    p.add_argument("--skip_formulas", type=int, default=0,
+                   help="skip the first N formulas of the deterministic "
+                        "sequence (resume an interrupted battery; the "
+                        "report tool merges by formula+sampler)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--diffusion_steps", type=int, default=32)
     p.add_argument("--test_rounds", type=int, default=32)
@@ -119,6 +123,8 @@ def main(argv=None):
     store = BenchmarksFile(args.out)
     agg: dict[str, list] = {}
     for fi, (n, clauses, models) in enumerate(formulas):
+        if fi < args.skip_formulas:
+            continue
         cnf = CNF(n_vars=n, clauses=clauses)
         S = len(models)
         n_samples = args.k * S
