@@ -54,6 +54,12 @@ def main(argv=None):
     p.add_argument("--restore", default="",
                    help="checkpoint dir to resume from (also keeps "
                         "saving there)")
+    p.add_argument("--init_npz", default="",
+                   help="warm-start params from a portable pretrained "
+                        ".npz (train/checkpoint.export_params); optimizer "
+                        "state and step start fresh. An orbax checkpoint "
+                        "found via --restore/run dir takes priority, so "
+                        "watchdog restarts resume rather than re-warm")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--label", default="")
     p.add_argument("--train_dir", default="runs_anf")
@@ -113,6 +119,13 @@ def main(argv=None):
     if restored is not None:
         state = restored
         print(f"Restored from step {int(state.step)}", flush=True)
+    elif args.init_npz:
+        from diffusionsat_tpu.train.checkpoint import load_params
+        warm, meta = load_params(args.init_npz)
+        state = state.replace(params=jax.device_put(warm,
+                                                    jax.devices()[0]))
+        print(f"Warm-started params from {args.init_npz} "
+              f"(meta: {meta})", flush=True)
 
     # pre-place every batch on the device ONCE: per-step host->device
     # uploads through the axon tunnel leak host memory (~batch-size/step,

@@ -24,8 +24,10 @@ for i in $(seq 1 20); do
   echo "=== anf flagship attempt $i, ${left}s left ($(date -u)) ==="
   args=(--rounds 17 --train_size 8000 --test_size 256
         --train_steps "$STEPS" --eval_every 2000
-        --cosine --label flagship160k --train_dir runs_anf)
+        --lr "${LR:-1e-3}"
+        --cosine --label "${LABEL:-flagship160k}" --train_dir runs_anf)
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
+  if [ -n "${INIT_NPZ:-}" ]; then args+=(--init_npz "$INIT_NPZ"); fi
   attempt_start=$(date +%s)
   setsid timeout -k 60 "$left" python anf_training.py "${args[@]}" &
   pid=$!
@@ -33,7 +35,7 @@ for i in $(seq 1 20); do
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
     now=$(date +%s)
-    log=$(ls -t runs_anf/anf_sat_r17_flagship160k_*/train_log.jsonl 2>/dev/null | head -1)
+    log=$(ls -t "runs_anf/anf_sat_r17_${LABEL:-flagship160k}_"*/train_log.jsonl 2>/dev/null | head -1)
     # a log older than this attempt belongs to a previous attempt
     if [ -n "$log" ] && [ "$(stat -c %Y "$log")" -ge "$attempt_start" ]; then
       age=$((now - $(stat -c %Y "$log")))
@@ -57,7 +59,7 @@ for i in $(seq 1 20); do
   fi
   # first attempt creates the run dir; later attempts must resume it
   if [ -z "$CKPT" ]; then
-    CKPT=$(ls -dt runs_anf/anf_sat_r17_flagship160k_*/ckpt 2>/dev/null | head -1)
+    CKPT=$(ls -dt "runs_anf/anf_sat_r17_${LABEL:-flagship160k}_"*/ckpt 2>/dev/null | head -1)
   fi
   echo "=== exited with $code; restarting from ${CKPT:-scratch} ==="
   sleep 10
