@@ -96,3 +96,36 @@ def test_anf_sat_model_smoke():
                                            jax.random.key(4), training=False)
     assert np.isfinite(float(loss))
     assert logits.shape == (batch.V, 1)
+
+
+def test_anf_training_init_npz_warm_start(tmp_path):
+    """anf_training --init_npz seeds params from a portable npz: an
+    eval-only run warm-started from an exported checkpoint must reproduce
+    the source run's full-testset metrics exactly (same params, same eval
+    key), while orbax --restore still takes priority when present."""
+    import anf_training
+    from diffusionsat_tpu.models.anf_sat import ANFSATConfig, anf_sat_init
+    from diffusionsat_tpu.train.checkpoint import (
+        export_params,
+        restore_model_params,
+    )
+
+    tiny = ["--rounds", "1", "--min_free_bits", "2", "--max_free_bits", "4",
+            "--train_size", "4", "--test_size", "2",
+            "--train_rounds", "2", "--test_rounds", "2",
+            "--feature_maps", "16", "--eval_every", "2",
+            "--max_vars", "1024", "--max_ands", "2048",
+            "--max_clauses", "1088", "--max_edges", "8192",
+            "--max_graphs", "4", "--train_dir", str(tmp_path)]
+    src = anf_training.main(tiny + ["--train_steps", "2",
+                                    "--label", "src"])
+    ckpt = next((tmp_path).glob("anf_sat_r1_src_*/ckpt"))
+    cfg = ANFSATConfig(feature_maps=16, query_maps=16)
+    params = restore_model_params(ckpt, anf_sat_init, cfg)
+    npz = tmp_path / "warm.npz"
+    export_params(params, npz, meta={"model": "anf_sat", "step": 2})
+
+    warm = anf_training.main(tiny + ["--train_steps", "0",
+                                     "--label", "warm",
+                                     "--init_npz", str(npz)])
+    assert warm == src, (warm, src)
