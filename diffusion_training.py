@@ -49,10 +49,13 @@ def build_dataset(cfg: RunConfig) -> SatDataset:
                 cfg.desired_multiplier_for_the_number_of_solutions),
             seed=cfg.seed)
     instances = DiffusionSatInstances(base, use_unigen=cfg.use_unigen,
-                                      seed=cfg.seed)
+                                      seed=cfg.seed,
+                                      n_label_samples=cfg.label_samples)
     bucket = BucketSpec.for_node_budget(cfg.max_nodes_per_batch)
     name = (f"diffusion_{'3sat' if cfg.use_hard_3sat else 'ksat'}_"
             f"{cfg.min_vars}_{cfg.max_vars}_{cfg.train_size}")
+    if cfg.label_samples > 1:  # multi-label cache is a different schema
+        name += f"_k{cfg.label_samples}"
     return SatDataset(instances, bucket, cache_dir=cfg.data_dir, name=name,
                       force_data_gen=cfg.force_data_gen, seed=cfg.seed)
 

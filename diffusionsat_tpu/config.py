@@ -30,6 +30,13 @@ class RunConfig:
     use_unigen: bool = True
     train_size: int = 100_000
     test_size: int = 10_000
+    # uniform solution samples per training instance: 1 = reference parity
+    # (one fixed Unigen label per instance); >1 attaches a K-row label bank
+    # and the train step resamples the target per graph per step — trains
+    # the denoising posterior over the solution set instead of a
+    # deterministic formula->solution map (the round-2 MH chain study's
+    # cross-component hitting bias)
+    label_samples: int = 1
 
     # dirs (reference config.py:46-49)
     data_dir: str = "data_cache"

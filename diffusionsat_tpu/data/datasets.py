@@ -30,7 +30,10 @@ def _save_batches(path: Path, batches: list[SatBatch]) -> None:
     fields = list(SatBatch.__dataclass_fields__)
     for i, b in enumerate(batches):
         for name in fields:
-            arrays[f"{i}/{name}"] = np.asarray(getattr(b, name))
+            val = getattr(b, name)
+            if val is None:  # optional fields (solutions_k) skip when unset
+                continue
+            arrays[f"{i}/{name}"] = np.asarray(val)
     np.savez_compressed(path, n=np.asarray(len(batches)), **arrays)
 
 
@@ -48,6 +51,8 @@ def _load_batches(path: Path) -> list[SatBatch]:
             elif f == "edge_perm_l":  # older cache schema
                 E = len(data[f"{i}/edge_lit_l"])
                 kwargs[f] = np.arange(E, dtype=np.int32)
+            elif f == "solutions_k":  # optional multi-label bank
+                kwargs[f] = None
             else:
                 raise KeyError(key)
         out.append(SatBatch(**kwargs))

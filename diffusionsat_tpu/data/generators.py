@@ -186,29 +186,43 @@ class DiffusionSatInstances(SatInstances):
     reference's Unigen slot); False -> a CDCL model (the Glucose slot).
     In test mode a single fixed formula can be repeated `n_solutions * k`
     times for the uniformity benchmark (reference `:80-94`).
+
+    `n_label_samples` > 1 attaches K independent uniform solution samples
+    per instance (a [K, n_vars] bit matrix) instead of the reference's
+    single sample; the train step then resamples the target per step
+    (train/loop._select_labels), teaching the denoising posterior over the
+    whole solution set rather than one arbitrary representative.
     """
 
     def __init__(self, base: SatInstances, use_unigen: bool = True,
                  test_cnf: cnf_mod.CNF | None = None,
                  test_solutions_multiplier_k: int = 10,
-                 max_enumerate: int = 200_000, seed: int = 0):
+                 max_enumerate: int = 200_000, seed: int = 0,
+                 n_label_samples: int = 1):
+        if n_label_samples > 1 and not use_unigen:
+            raise ValueError("n_label_samples > 1 requires use_unigen=True "
+                             "(multi-label banks must be uniform samples)")
         self.base = base
         self.use_unigen = use_unigen
         self.test_cnf = test_cnf
         self.k = test_solutions_multiplier_k
         self.max_enumerate = max_enumerate
         self.seed = seed
+        self.n_label_samples = n_label_samples
 
     def _solution_for(self, n_vars: int, clauses: list[list[int]],
-                      idx: int) -> list[int] | None:
+                      idx: int):
+        """One solution (list) or a K-row bank (list of lists) for K > 1."""
         if self.use_unigen:
             sampler = UniformSampler(max_enumerate=self.max_enumerate,
                                      seed=self.seed + idx)
             dimacs = cnf_mod.CNF(n_vars=n_vars, clauses=clauses).to_string()
-            is_sat, samples = sampler.multiple_samples(dimacs, 1)
+            K = self.n_label_samples
+            is_sat, samples = sampler.multiple_samples(dimacs, K)
             if not is_sat:
                 return None
-            return [1 if l > 0 else 0 for l in samples[0]]
+            bits = [[1 if l > 0 else 0 for l in s] for s in samples]
+            return bits if K > 1 else bits[0]
         is_sat, model = solve(clauses, n_vars, seed=self.seed + idx)
         if not is_sat:
             return None
@@ -216,7 +230,9 @@ class DiffusionSatInstances(SatInstances):
 
     def _wrap(self, gen):
         for idx, (n_vars, clauses, solution) in enumerate(gen):
-            if solution is None:
+            # a base-attached solution is a single model; with K > 1 we
+            # need K uniform draws, so resample regardless
+            if solution is None or self.n_label_samples > 1:
                 solution = self._solution_for(n_vars, clauses, idx)
                 if solution is None:
                     raise ValueError("UNSAT instance in diffusion data")
@@ -230,7 +246,8 @@ class DiffusionSatInstances(SatInstances):
             b, use_unigen=self.use_unigen, test_cnf=self.test_cnf,
             test_solutions_multiplier_k=self.k,
             max_enumerate=self.max_enumerate,
-            seed=self.seed + 104729 * (i + 1))
+            seed=self.seed + 104729 * (i + 1),
+            n_label_samples=self.n_label_samples)
             for i, b in enumerate(base_shards)]
 
     def train_generator(self):

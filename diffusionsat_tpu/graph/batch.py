@@ -87,6 +87,16 @@ class SatBatch:
     n_vars: jnp.ndarray         # [] int32
     n_clauses: jnp.ndarray      # [] int32
     n_graphs: jnp.ndarray       # [] int32
+    # optional multi-label bank: K independent uniform solution samples per
+    # graph ([K, V] int32; row 0 == `solutions`). When present, the train
+    # step resamples the supervision target per graph per step, so the
+    # model learns the denoising *posterior over the solution set* instead
+    # of a deterministic formula->solution map (the cross-component
+    # hitting bias found in the round-2 MH chain study). The reference
+    # attaches ONE Unigen sample per instance for the whole run
+    # (reference data/diffusion_sat_instances.py:36-94) — this is a
+    # deliberate improvement, not a parity feature.
+    solutions_k: jnp.ndarray | None = None
 
     @property
     def V(self) -> int:
@@ -113,7 +123,10 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
 
     Variables of consecutive formulas are shifted into one index space
     (reference `data/dimac.py:213-241`). `solutions[i]` is a 0/1 bit list of
-    length n_vars_i. Raises if the bucket is too small.
+    length n_vars_i, or a [K, n_vars_i] nested list of K solution samples
+    (rows cycle if a formula supplies fewer than the batch-wide K); with
+    K > 1 the batch carries a `solutions_k` label bank and `solutions`
+    holds row 0. Raises if the bucket is too small.
     """
     V, C, E, G = (bucket.max_vars, bucket.max_clauses, bucket.max_edges,
                   bucket.max_graphs)
@@ -126,6 +139,13 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
     n_vars_per_graph = np.zeros(G, dtype=np.float32)
     n_clauses_per_graph = np.zeros(G, dtype=np.float32)
     sol = np.zeros(V, dtype=np.int32)
+    K = 1
+    sol_arrs: list[np.ndarray] = []
+    if solutions is not None:
+        sol_arrs = [np.asarray(s, dtype=np.int32) for s in solutions]
+        K = max((a.shape[0] if a.ndim == 2 else 1) for a in sol_arrs) \
+            if sol_arrs else 1
+    sol_k = np.zeros((K, V), dtype=np.int32) if K > 1 else None
 
     edge_lit: list[int] = []
     edge_clause: list[int] = []
@@ -141,9 +161,12 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
         n_vars_per_graph[g] = n_vars
         n_clauses_per_graph[g] = n_cl
         if solutions is not None:
-            bits = np.asarray(solutions[g], dtype=np.int32)
-            assert bits.shape[0] == n_vars, "solution length mismatch"
-            sol[v_off:v_off + n_vars] = bits
+            bits = np.atleast_2d(sol_arrs[g])      # [k_g, n_vars]
+            assert bits.shape[1] == n_vars, "solution length mismatch"
+            sol[v_off:v_off + n_vars] = bits[0]
+            if sol_k is not None:
+                rows = bits[np.arange(K) % bits.shape[0]]
+                sol_k[:, v_off:v_off + n_vars] = rows
         for ci, clause in enumerate(clauses):
             for lit in clause:
                 v = abs(lit) - 1 + v_off
@@ -209,4 +232,5 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
         n_vars=np.asarray(v_off, dtype=np.int32),
         n_clauses=np.asarray(c_off, dtype=np.int32),
         n_graphs=np.asarray(n_graphs, dtype=np.int32),
+        solutions_k=sol_k,
     )

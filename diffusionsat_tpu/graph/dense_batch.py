@@ -48,6 +48,8 @@ class DenseSatBatch:
     n_vars: np.ndarray             # [] int32 total real vars
     n_clauses: np.ndarray          # [] int32
     n_graphs: np.ndarray           # [] int32
+    # optional multi-label bank [K, G, Vg] int32 (see SatBatch.solutions_k)
+    solutions_k: np.ndarray | None = None
 
     @property
     def G(self) -> int:
@@ -114,10 +116,15 @@ def dense_from_flat(b: SatBatch, G: int, Vg: int, Cg: int) -> DenseSatBatch:
     clause_mask = np.zeros((G, Cg), np.float32)
     sol = np.zeros((G, Vg), np.int32)
     flat_sol = np.asarray(b.solutions)
+    flat_sol_k = None if b.solutions_k is None else np.asarray(b.solutions_k)
+    sol_k = None if flat_sol_k is None else \
+        np.zeros((flat_sol_k.shape[0], G, Vg), np.int32)
     for g in range(nb_graphs):
         var_mask[g, :nv[g]] = 1.0
         clause_mask[g, :nc[g]] = 1.0
         sol[g, :nv[g]] = flat_sol[v_off[g]:v_off[g + 1]]
+        if sol_k is not None:
+            sol_k[:, g, :nv[g]] = flat_sol_k[:, v_off[g]:v_off[g + 1]]
 
     graph_mask = np.zeros(G, np.float32)
     graph_mask[:nb_graphs] = 1.0
@@ -132,7 +139,8 @@ def dense_from_flat(b: SatBatch, G: int, Vg: int, Cg: int) -> DenseSatBatch:
         n_clauses_per_graph=ncg, solutions=sol,
         n_vars=np.asarray(int(nv.sum()), np.int32),
         n_clauses=np.asarray(int(nc.sum()), np.int32),
-        n_graphs=np.asarray(nb_graphs, np.int32))
+        n_graphs=np.asarray(nb_graphs, np.int32),
+        solutions_k=sol_k)
 
 
 def densify_batches(batches, pad_graphs: int = 4, pad_nodes: int = 8

@@ -93,11 +93,17 @@ def make_dp_train_step(cfg: QuerySATConfig,
         dev_idx = jax.lax.axis_index("data")
         dev_key = jax.random.fold_in(jax.random.fold_in(key, dev_idx),
                                      step)
+        if batch.solutions_k is not None:  # multi-label bank: per-graph draw
+            from diffusionsat_tpu.train.loop import _select_labels
+            dev_key, k_label = jax.random.split(dev_key)
+            labels = _select_labels(batch, k_label)
+        else:
+            labels = batch.solutions
 
         def loss_fn(p):
             _, loss, steps, _ = apply_fn(
                 p, cfg, batch, dev_key, training=True,
-                labels=batch.solutions)
+                labels=labels)
             return loss, steps
 
         (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -202,6 +202,8 @@ def shard_gp_batch(batch: SatBatch, mesh: Mesh) -> SatBatch:
                       "edge_perm_l", "clause_mask", "clause_graph"}
 
     def place(name, x):
+        if x is None:  # optional fields (solutions_k)
+            return None
         s = edge_s if name in sharded_fields else repl
         return jax.device_put(jnp.asarray(x), s)
 
@@ -217,6 +219,8 @@ def place_sharded_batch(batch: SatBatch, mesh: Mesh) -> SatBatch:
     repl = NamedSharding(mesh, P())
 
     def place(name, x):
+        if x is None:  # optional fields (solutions_k)
+            return None
         if name in ("edge_lit_c", "edge_clause_c", "edge_mask_c"):
             return jax.device_put(jnp.asarray(x), edge_sharding)
         return jax.device_put(jnp.asarray(x), repl)

@@ -40,6 +40,30 @@ def _accepts_labels(apply_fn: Callable) -> bool:
         return False
 
 
+def _select_labels(batch, key: jax.Array) -> jnp.ndarray:
+    """Per-graph random label draw from the batch's multi-label bank.
+
+    With `solutions_k` present ([K, V] flat / [K, G, Vg] dense), every
+    graph independently picks one of its K uniform solution samples per
+    call, so across steps the supervision target is (empirically) uniform
+    over each formula's sampled solution set — the denoising-posterior
+    training signal the single-fixed-label scheme (reference
+    data/diffusion_sat_instances.py:36-94) lacks. Without the bank this
+    returns `batch.solutions` unchanged (and callers must not burn RNG)."""
+    sk = batch.solutions_k
+    if sk is None:
+        return batch.solutions
+    K = sk.shape[0]
+    if sk.ndim == 3:  # dense layout: [K, G, Vg]
+        G = sk.shape[1]
+        kg = jax.random.randint(key, (G,), 0, K)
+        return sk[kg, jnp.arange(G), :]
+    # flat layout: [K, V]; var_graph padding id G indexes the extra row
+    G = batch.graph_mask.shape[0]
+    kg = jax.random.randint(key, (G + 1,), 0, K)
+    return sk[kg[batch.var_graph], jnp.arange(sk.shape[1])]
+
+
 def make_train_step_for(apply_fn: Callable, cfg,
                         optimizer: optax.GradientTransformation
                         ) -> Callable[[TrainState, SatBatch],
@@ -52,10 +76,16 @@ def make_train_step_for(apply_fn: Callable, cfg,
 
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch):
-        key, subkey = jax.random.split(state.key)
+        multilabel = with_labels and batch.solutions_k is not None
+        if multilabel:  # static: pytree structure decides at trace time
+            key, subkey, k_label = jax.random.split(state.key, 3)
+            labels = _select_labels(batch, k_label)
+        else:
+            key, subkey = jax.random.split(state.key)
+            labels = batch.solutions
 
         def loss_fn(params):
-            kw = {"labels": batch.solutions} if with_labels else {}
+            kw = {"labels": labels} if with_labels else {}
             _, loss, steps, _ = apply_fn(params, cfg, batch, subkey,
                                          training=True, **kw)
             return loss, steps
@@ -89,12 +119,17 @@ def make_planned_train_step(cfg: QuerySATConfig,
 
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch, plans):
-        key, subkey = jax.random.split(state.key)
+        if batch.solutions_k is not None:
+            key, subkey, k_label = jax.random.split(state.key, 3)
+            labels = _select_labels(batch, k_label)
+        else:
+            key, subkey = jax.random.split(state.key)
+            labels = batch.solutions
 
         def loss_fn(params):
             _, loss, steps, _ = query_sat_apply(
                 params, cfg, batch, subkey, training=True,
-                labels=batch.solutions, plans=plans)
+                labels=labels, plans=plans)
             return loss, steps
 
         (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -162,8 +197,12 @@ def make_selfsupervised_train_step(cfg: QuerySATConfig,
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch):
         key, k_noise, k_input, k1, k2 = jax.random.split(state.key, 5)
+        if batch.solutions_k is not None:
+            k_input, k_label = jax.random.split(k_input)
+            labels = _select_labels(batch, k_label)
+        else:
+            labels = batch.solutions
         noise_scale = jax.random.uniform(k_noise, ())
-        labels = batch.solutions
         noisy = construct_training_input(k_input, labels, noise_scale)
 
         def loss_fn(params):

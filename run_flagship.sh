@@ -15,6 +15,8 @@ DEADLINE_S=${DEADLINE_S:-14400}
 STARTUP_GRACE_S=${STARTUP_GRACE_S:-1500}
 STALE_S=${STALE_S:-600}
 CKPT=${CKPT:-}
+LABEL=${LABEL:-flagship167k}
+EXTRA_ARGS=${EXTRA_ARGS:-}
 START=$(date +%s)
 mkdir -p runs_flagship
 for i in $(seq 1 20); do
@@ -28,7 +30,8 @@ for i in $(seq 1 20); do
         --test_size 2000
         --eval_every 1000 --ckpt_every 1000
         --incidence_precision default
-        --label flagship167k --train_dir runs_flagship)
+        --label "$LABEL" --train_dir runs_flagship)
+  if [ -n "$EXTRA_ARGS" ]; then args+=($EXTRA_ARGS); fi
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
   attempt_start=$(date +%s)
   setsid timeout -k 60 "$left" python diffusion_training.py "${args[@]}" &
@@ -37,7 +40,7 @@ for i in $(seq 1 20); do
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
     now=$(date +%s)
-    log=$(ls -t runs_flagship/query_sat_3-sat_flagship167k_*/train_log.jsonl 2>/dev/null | head -1)
+    log=$(ls -t runs_flagship/query_sat_3-sat_${LABEL}_*/train_log.jsonl 2>/dev/null | head -1)
     # a log older than this attempt belongs to a previous attempt
     if [ -n "$log" ] && [ "$(stat -c %Y "$log")" -ge "$attempt_start" ]; then
       age=$((now - $(stat -c %Y "$log")))
@@ -60,7 +63,7 @@ for i in $(seq 1 20); do
     break
   fi
   if [ -z "$CKPT" ]; then
-    CKPT=$(ls -dt runs_flagship/query_sat_3-sat_flagship167k_*/ckpt 2>/dev/null | head -1)
+    CKPT=$(ls -dt runs_flagship/query_sat_3-sat_${LABEL}_*/ckpt 2>/dev/null | head -1)
   fi
   echo "=== exited with $code; restarting from ${CKPT:-scratch} ==="
   sleep 10
