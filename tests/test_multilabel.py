@@ -194,3 +194,30 @@ def test_multilabel_requires_unigen():
                          seed=0)
     with pytest.raises(ValueError):
         DiffusionSatInstances(base, use_unigen=False, n_label_samples=2)
+
+
+def test_dp_step_with_multilabel_bank():
+    """DP over the 8-virtual-device mesh with per-device label banks."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from diffusionsat_tpu.parallel.dp import (
+        make_dp_train_step,
+        shard_stacked_batch,
+        stack_batches,
+    )
+    from diffusionsat_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8, n_graph=1, devices=jax.devices()[:8])
+    cfg = QuerySATConfig(feature_maps=8, query_maps=8, train_rounds=2,
+                         test_rounds=2)
+    opt = adabelief(learning_rate=1e-3)
+    params = query_sat_init(jax.random.key(0), cfg)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
+    batches = [_ml_batch(K=4, seed=10 * i)[0] for i in range(8)]
+    stacked = shard_stacked_batch(stack_batches(batches), mesh)
+    assert stacked.solutions_k.shape[0] == 8  # [D, K, V]
+    step = make_dp_train_step(cfg, opt, mesh)
+    state, out = step(state, stacked)
+    assert np.isfinite(float(out["loss"]))
+    assert int(state.step) == 1
