@@ -17,12 +17,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+from pathlib import Path
 
 import numpy as np
 
-from diffusionsat_tpu.sat.cnf import CNF, VariableAssignment
-from diffusionsat_tpu.uniformity.samplers import MetropolisRefiner
-from diffusionsat_tpu.utils.chi_square import chi_square_likelihood
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from diffusionsat_tpu.sat.cnf import CNF  # noqa: E402
+from diffusionsat_tpu.uniformity.samplers import MetropolisRefiner  # noqa: E402
 
 
 class _CountSeedSampler:
@@ -36,22 +39,21 @@ class _CountSeedSampler:
 
 
 def stats_for(counts: dict[int, int], models, cnf) -> dict:
+    """count_stats (the battery's own keying + chi2) plus TVD."""
+    from uniformity_benchmark import count_stats, keyed_uniform_ideal
+
     S = len(models)
     got = max(sum(counts.values()), 1)
-    keyed_ideal = {}
-    for row in models:
-        asgn = VariableAssignment(cnf.number_of_vars(), cnf.clauses())
-        asgn.assign_all_from_bit_list([int(b) for b in row])
-        keyed_ideal[int(asgn)] = got / max(S, 1)
-    pval = chi_square_likelihood(counts, keyed_ideal)
+    base = count_stats(counts, models, cnf, n_samples=got)
+    keyed_ideal = keyed_uniform_ideal(models, cnf, got)
     # total variation distance from uniform over the true solution set
     tvd = 0.5 * (sum(abs(counts.get(k, 0) / got - 1.0 / S)
                      for k in keyed_ideal)
                  + sum(c / got for k, c in counts.items()
                        if k not in keyed_ideal))
-    return {"distinct": len(counts), "chi2_p": float(pval),
+    return {"distinct": base["distinct"], "chi2_p": base["chi2_p"],
             "tvd": round(float(tvd), 4),
-            "diversity": round(len(counts) / max(S, 1), 4)}
+            "diversity": base["diversity"]}
 
 
 def main(argv=None):

@@ -93,7 +93,7 @@ def make_dp_train_step(cfg: QuerySATConfig,
         dev_idx = jax.lax.axis_index("data")
         dev_key = jax.random.fold_in(jax.random.fold_in(key, dev_idx),
                                      step)
-        if batch.solutions_k is not None:  # multi-label bank: per-graph draw
+        if getattr(batch, "solutions_k", None) is not None:  # label bank
             from diffusionsat_tpu.train.loop import _select_labels
             dev_key, k_label = jax.random.split(dev_key)
             labels = _select_labels(batch, k_label)

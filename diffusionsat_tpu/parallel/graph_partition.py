@@ -170,12 +170,18 @@ def make_gp_train_step(cfg, optimizer, mesh: Mesh):
 
     @jax.jit
     def train_step(state, batch: SatBatch):
-        key, subkey = jax.random.split(state.key)
+        if getattr(batch, "solutions_k", None) is not None:
+            from diffusionsat_tpu.train.loop import _select_labels
+            key, subkey, k_label = jax.random.split(state.key, 3)
+            labels = _select_labels(batch, k_label)
+        else:
+            key, subkey = jax.random.split(state.key)
+            labels = batch.solutions
 
         def loss_fn(p):
             _, loss, steps, _ = query_sat_apply(
                 p, cfg, batch, subkey, training=True,
-                labels=batch.solutions)
+                labels=labels)
             return loss, steps
 
         (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(

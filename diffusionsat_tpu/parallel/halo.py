@@ -143,11 +143,19 @@ def make_halo_gp_train_step(cfg, optimizer, mesh, plan: HaloPlan):
         local_batch = jax.tree.map(lambda x: x[0], local_batch)
         halo = {"owner_mask": owner_mask[0], "send_idx": send_idx[0],
                 "send_mask": send_mask[0]}
+        if getattr(local_batch, "solutions_k", None) is not None:
+            # `key` is replicated, so every device draws the SAME labels —
+            # required: the literal state is shared across shards
+            from diffusionsat_tpu.train.loop import _select_labels
+            key, k_label = jax.random.split(key)
+            labels = _select_labels(local_batch, k_label)
+        else:
+            labels = local_batch.solutions
 
         def loss_fn(p):
             _, loss, steps, _ = query_sat_apply(
                 p, cfg, local_batch, key, training=True,
-                labels=local_batch.solutions, axis_name="graph",
+                labels=labels, axis_name="graph",
                 halo=halo)
             return loss, steps
 

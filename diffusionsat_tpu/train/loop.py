@@ -76,7 +76,10 @@ def make_train_step_for(apply_fn: Callable, cfg,
 
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch):
-        multilabel = with_labels and batch.solutions_k is not None
+        # getattr: batch types without a bank field (ANFBatch) stay on the
+        # single-label path
+        multilabel = with_labels and \
+            getattr(batch, "solutions_k", None) is not None
         if multilabel:  # static: pytree structure decides at trace time
             key, subkey, k_label = jax.random.split(state.key, 3)
             labels = _select_labels(batch, k_label)
@@ -119,7 +122,7 @@ def make_planned_train_step(cfg: QuerySATConfig,
 
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch, plans):
-        if batch.solutions_k is not None:
+        if getattr(batch, "solutions_k", None) is not None:
             key, subkey, k_label = jax.random.split(state.key, 3)
             labels = _select_labels(batch, k_label)
         else:
@@ -197,7 +200,7 @@ def make_selfsupervised_train_step(cfg: QuerySATConfig,
     @jax.jit
     def train_step(state: TrainState, batch: SatBatch):
         key, k_noise, k_input, k1, k2 = jax.random.split(state.key, 5)
-        if batch.solutions_k is not None:
+        if getattr(batch, "solutions_k", None) is not None:
             k_input, k_label = jax.random.split(k_input)
             labels = _select_labels(batch, k_label)
         else:

@@ -31,7 +31,10 @@ for i in $(seq 1 20); do
         --eval_every 1000 --ckpt_every 1000
         --incidence_precision default
         --label "$LABEL" --train_dir runs_flagship)
-  if [ -n "$EXTRA_ARGS" ]; then args+=($EXTRA_ARGS); fi
+  if [ -n "$EXTRA_ARGS" ]; then
+    read -ra extra <<< "$EXTRA_ARGS"   # word-split without glob expansion
+    args+=("${extra[@]}")
+  fi
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
   attempt_start=$(date +%s)
   setsid timeout -k 60 "$left" python diffusion_training.py "${args[@]}" &

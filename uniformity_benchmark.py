@@ -55,17 +55,25 @@ def gen_benchmark_formulas(n_formulas: int, seed: int = 0,
     return out
 
 
+def keyed_uniform_ideal(models, cnf, total: float) -> dict[int, float]:
+    """{assignment_key: total/S} over the true solution set — the uniform
+    expectation histogram every battery statistic is computed against."""
+    S = max(len(models), 1)
+    keyed = {}
+    for row in models:
+        asgn = VariableAssignment(cnf.number_of_vars(), cnf.clauses())
+        asgn.assign_all_from_bit_list([int(b) for b in row])
+        keyed[int(asgn)] = total / S
+    return keyed
+
+
 def count_stats(counts: dict, models, cnf, n_samples: int) -> dict:
     S = len(models)
     # expectation from the samples actually collected — a sampler that
     # stops early (divergence guard) must not be chi2-penalized for the
     # missing draws
     got = max(sum(counts.values()), 1)
-    keyed_ideal = {}
-    for row in models:
-        asgn = VariableAssignment(cnf.number_of_vars(), cnf.clauses())
-        asgn.assign_all_from_bit_list([int(b) for b in row])
-        keyed_ideal[int(asgn)] = got / max(S, 1)
+    keyed_ideal = keyed_uniform_ideal(models, cnf, got)
     pval = chi_square_likelihood(counts, keyed_ideal)
     # count-histogram cross-entropy vs uniform (reference
     # diffusion_metrics.py:130-159)
