@@ -147,8 +147,14 @@ def main(argv=None):
                       "runs on the tunneled TPU leak host memory",
                       flush=True)
             train_stream = PackedBatches(dense_batches, seed=cfg.seed)
-            train_step = make_train_step_for(query_sat_dense_apply,
-                                             model_cfg, optimizer)
+            if cfg.self_supervised:
+                from diffusionsat_tpu.train.loop import (
+                    make_selfsupervised_train_step)
+                train_step = make_selfsupervised_train_step(
+                    model_cfg, optimizer, apply_fn=query_sat_dense_apply)
+            else:
+                train_step = make_train_step_for(query_sat_dense_apply,
+                                                 model_cfg, optimizer)
             diag_apply = query_sat_dense_apply
             shapes = sorted({(d.G, d.Vg, d.Cg) for d in dense_batches})
             print(f"dense layout shapes (G, Vg, Cg): {shapes}", flush=True)
@@ -162,7 +168,13 @@ def main(argv=None):
             from diffusionsat_tpu.ops.pallas_segsum import build_batch_plans
             for b in train_data.batches:
                 plans_by_id[id(b)] = build_batch_plans(b)
-        if plans_by_id and all(p is not None for p in plans_by_id.values()):
+        if cfg.self_supervised:
+            from diffusionsat_tpu.train.loop import (
+                make_selfsupervised_train_step)
+            train_step = make_selfsupervised_train_step(model_cfg,
+                                                        optimizer)
+        elif plans_by_id and all(p is not None
+                                 for p in plans_by_id.values()):
             planned = make_planned_train_step(model_cfg, optimizer)
 
             def train_step(state, batch):
@@ -173,6 +185,9 @@ def main(argv=None):
     # data parallelism: wrap the chosen layout's apply in the DP step and
     # feed device-stacked batch groups (parallel/dp.py; VERDICT item 4)
     data_stream = train_stream.repeat_shuffled()
+    if cfg.n_devices > 1 and cfg.self_supervised:
+        raise SystemExit("--self_supervised is single-device for now "
+                         "(the DP step wraps the plain supervised loss)")
     if cfg.n_devices > 1:
         from diffusionsat_tpu.parallel.dp import (
             make_dp_train_step, stacked_stream)

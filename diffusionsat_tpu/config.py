@@ -30,6 +30,10 @@ class RunConfig:
     use_unigen: bool = True
     train_size: int = 100_000
     test_size: int = 10_000
+    # self-conditioning training (reference model/query_sat.py:398-417):
+    # two passes per step, the second fed the stop-gradient denoised
+    # estimate of the first; loss = loss1 + 2*loss2. ~3x step cost.
+    self_supervised: bool = False
     # uniform solution samples per training instance: 1 = reference parity
     # (one fixed Unigen label per instance); >1 attaches a K-row label bank
     # and the train step resamples the target per graph per step — trains

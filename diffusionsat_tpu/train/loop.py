@@ -190,11 +190,14 @@ def make_diagnostics_step(cfg, apply_fn: Callable = query_sat_apply):
 
 
 def make_selfsupervised_train_step(cfg: QuerySATConfig,
-                                   optimizer: optax.GradientTransformation):
+                                   optimizer: optax.GradientTransformation,
+                                   apply_fn: Callable = query_sat_apply):
     """Self-conditioning diffusion train step (reference
     model/query_sat.py:398-417 `train_step_selfsupervised`): one pass
     without self-conditioning, a second pass fed the stop-gradient sigmoid
-    of the first pass's logits; loss = loss1 + 2*loss2."""
+    of the first pass's logits; loss = loss1 + 2*loss2. `apply_fn` selects
+    the execution layout (flat query_sat_apply or dense
+    query_sat_dense_apply — both take noisy_num/denoised_num)."""
     from diffusionsat_tpu.diffusion.schedule import construct_training_input
 
     @jax.jit
@@ -209,11 +212,11 @@ def make_selfsupervised_train_step(cfg: QuerySATConfig,
         noisy = construct_training_input(k_input, labels, noise_scale)
 
         def loss_fn(params):
-            logits, loss1, steps, _ = query_sat_apply(
+            logits, loss1, steps, _ = apply_fn(
                 params, cfg, batch, k1, training=True, labels=labels,
                 noise_scale=noise_scale, noisy_num=noisy)
             denoised = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
-            _, loss2, _, _ = query_sat_apply(
+            _, loss2, _, _ = apply_fn(
                 params, cfg, batch, k2, training=True, labels=labels,
                 noise_scale=noise_scale, noisy_num=noisy,
                 denoised_num=denoised)

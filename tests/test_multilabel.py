@@ -221,3 +221,31 @@ def test_dp_step_with_multilabel_bank():
     state, out = step(state, stacked)
     assert np.isfinite(float(out["loss"]))
     assert int(state.step) == 1
+
+
+@pytest.mark.parametrize("layout", ["flat", "dense"])
+def test_selfsupervised_step_descends_both_layouts(layout):
+    """Self-conditioning step (reference model/query_sat.py:398-417) on
+    both execution layouts, with a multi-label bank present."""
+    from diffusionsat_tpu.train.loop import make_selfsupervised_train_step
+
+    cfg = QuerySATConfig(feature_maps=16, query_maps=16, train_rounds=2,
+                         test_rounds=2)
+    params = query_sat_init(jax.random.key(0), cfg)
+    opt = adabelief(learning_rate=1e-3)
+    batch, _ = _ml_batch(K=4)
+    if layout == "dense":
+        batch = dense_from_flat(batch, G=4, Vg=8, Cg=8)
+        step = make_selfsupervised_train_step(
+            cfg, opt, apply_fn=query_sat_dense_apply)
+    else:
+        step = make_selfsupervised_train_step(cfg, opt)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32), key=jax.random.key(3))
+    losses = []
+    for _ in range(8):
+        state, out = step(state, batch)
+        losses.append(float(out["loss"]))
+        assert float(out["loss1"]) > 0 and float(out["loss2"]) > 0
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
