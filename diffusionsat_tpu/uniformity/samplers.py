@@ -87,24 +87,18 @@ class MetropolisRefiner:
         lit_true &= self._cl_msk
         return lit_true.any(axis=2).all(axis=1)
 
-    def refine(self, counts: dict[int, int]) -> dict[int, int]:
-        """Run the MH chain from every collected sample; recount."""
+    def _keys_to_bits(self, counts: dict[int, int]) -> np.ndarray:
+        """Expand a count histogram into a [B, n] bool chain-state array."""
         n = self.cnf.number_of_vars()
         seeds = [key for key, c in counts.items() for _ in range(c)]
-        if not seeds:
-            return {}
         x = np.zeros((len(seeds), n), dtype=bool)
         for i, key in enumerate(seeds):
             for b in range(n):
                 x[i, b] = (key >> b) & 1
-        assert self._sat(x).all(), "refiner seeded with UNSAT assignment"
-        B = len(seeds)
-        flips = self.rng.integers(0, n, size=(self.n_steps, B))
-        for t in range(self.n_steps):
-            idx = flips[t]
-            x[np.arange(B), idx] ^= True
-            ok = self._sat(x)
-            x[np.arange(B)[~ok], idx[~ok]] ^= True     # reject: revert
+        return x
+
+    def _bits_to_counts(self, x: np.ndarray) -> dict[int, int]:
+        n = self.cnf.number_of_vars()
         out: dict[int, int] = {}
         weights = 1 << np.arange(n, dtype=object)
         for row in x:
@@ -112,11 +106,125 @@ class MetropolisRefiner:
             out[key] = out.get(key, 0) + 1
         return out
 
+    def _mh_steps(self, x: np.ndarray, n_steps: int) -> np.ndarray:
+        """`n_steps` vectorized 1-flip Metropolis steps on every chain."""
+        n = self.cnf.number_of_vars()
+        B = len(x)
+        if B == 0 or n_steps == 0:
+            return x
+        flips = self.rng.integers(0, n, size=(n_steps, B))
+        for t in range(n_steps):
+            idx = flips[t]
+            x[np.arange(B), idx] ^= True
+            ok = self._sat(x)
+            x[np.arange(B)[~ok], idx[~ok]] ^= True     # reject: revert
+        return x
+
+    def refine(self, counts: dict[int, int]) -> dict[int, int]:
+        """Run the MH chain from every collected sample; recount."""
+        x = self._keys_to_bits(counts)
+        if len(x) == 0:
+            return {}
+        assert self._sat(x).all(), "refiner seeded with UNSAT assignment"
+        x = self._mh_steps(x, self.n_steps)
+        return self._bits_to_counts(x)
+
     def samples(self, n_samples: int) -> dict[int, int]:
         counts = self.base.samples(n_samples)
         refined = self.refine(counts)
         self.success_rate = getattr(self.base, "success_rate", None)
         return refined
+
+
+class XorCellJumpRefiner(MetropolisRefiner):
+    """MetropolisRefiner plus XOR-cell *jump* moves that cross solution
+    components.
+
+    The MH chain-length study (MH_CHAIN_STUDY.json) showed the 1-flip
+    Metropolis kernel saturates: it is uniform within each connected
+    component of the solution graph but provably preserves the base
+    sampler's across-component mass. This kernel closes that gap.
+
+    Jump move from solution x: draw m random XOR constraints whose
+    variable subsets come from the density-d hash family (independent of
+    x) and whose parities are set so x satisfies them; enumerate the cell
+    = models(F ∧ XORs) up to `cell_budget`; if the enumeration completes,
+    move to a uniformly-random element of the cell, else stay.
+
+    Correctness: for y ≠ x, q(y|x) = Σ_{subsets S: y ∈ cell} P(S)/|cell|
+    with the sum over hashes whose parities agree on x and y — a set (and
+    summand) symmetric in x and y, and P(S) does not depend on x. Hence
+    q(y|x) = q(x|y): a symmetric proposal, so with a uniform target the
+    Metropolis acceptance is 1 (always move). The budget rejection rule
+    depends only on |cell| (a property of the hash, not the endpoint),
+    preserving symmetry. Any pair x, y lands in a common cell with
+    probability 2^-m over hash draws, so the chain is irreducible over
+    the WHOLE solution set, not per-component. Interleaved 1-flip sweeps
+    (also uniform-stationary) supply cheap within-component mixing.
+
+    This is the same XOR machinery the Unigen slot uses
+    (`sat/xor_hash.py`; reference `satuniformity/UnigenSampler.py:12-35`)
+    recast as an MCMC move, so it scales past exact enumeration: each
+    jump enumerates only an expected-count/2^m cell, never the full set.
+    """
+
+    def __init__(self, cnf: CNF, base, n_jumps: int = 4,
+                 cell_target: int = 8, cell_budget: int | None = None,
+                 density: float | None = None, sweeps_between: int = 5,
+                 seed: int = 0):
+        n = cnf.number_of_vars()
+        super().__init__(cnf, base, n_steps=sweeps_between * n, seed=seed)
+        self.n_jumps = n_jumps
+        self.cell_target = cell_target
+        self.cell_budget = cell_budget or 4 * cell_target
+        # match xor_hash.py's wide-formula density taper (long XOR chains
+        # make the CDCL's life hard without improving the hash)
+        self.density = density if density is not None else (
+            0.5 if n <= 64 else min(0.5, 16.0 / n))
+        self._m: int | None = None
+
+    def _choose_m(self) -> int:
+        """m with expected cell size ~cell_target, from an approximate
+        model count (lazy: one count per formula, reused by every jump)."""
+        if self._m is None:
+            from diffusionsat_tpu.sat.xor_hash import approx_count
+            cnt = approx_count(self.cnf.clauses(),
+                               self.cnf.number_of_vars(),
+                               seed=int(self.rng.integers(1 << 30)),
+                               exact_budget=4 * self.cell_budget)
+            c = max(cnt.count, 1.0)
+            self._m = max(0, int(np.ceil(np.log2(
+                max(c / self.cell_target, 1.0)))))
+        return self._m
+
+    def _jump(self, x: np.ndarray) -> np.ndarray:
+        """One XOR-cell jump from solution x ([n] bool)."""
+        from diffusionsat_tpu.sat.xor_hash import _cell_models
+        n = self.cnf.number_of_vars()
+        m = self._choose_m()
+        xors = []
+        for _ in range(m):
+            mask = self.rng.random(n) < self.density
+            vars_in = (np.nonzero(mask)[0] + 1).tolist()
+            parity = int(x[mask].sum() % 2)  # pass the hash through x
+            xors.append((vars_in, parity))
+        cell = _cell_models(self.cnf.clauses(), n, xors,
+                            bound=self.cell_budget + 1,
+                            seed=int(self.rng.integers(1 << 30)))
+        if len(cell) == 0 or len(cell) > self.cell_budget:
+            return x  # truncated (oversized) cell: stay, by symmetric rule
+        return cell[self.rng.integers(0, len(cell))].astype(bool)
+
+    def refine(self, counts: dict[int, int]) -> dict[int, int]:
+        x = self._keys_to_bits(counts)
+        if len(x) == 0:
+            return {}
+        assert self._sat(x).all(), "refiner seeded with UNSAT assignment"
+        for _ in range(self.n_jumps):
+            for i in range(len(x)):
+                x[i] = self._jump(x[i])
+            x = self._mh_steps(x, self.n_steps)
+        return self._bits_to_counts(x)
 
 
 class WalkSatSampler:

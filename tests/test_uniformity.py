@@ -134,3 +134,65 @@ def test_metropolis_refiner_stays_in_component():
     ref = MetropolisRefiner(cnf2, Seed00(), seed=0)
     counts = ref.samples(100)
     assert counts == {0: 100}
+
+
+def test_xor_jump_refiner_crosses_components():
+    """The XOR-cell jump kernel must equalize mass across disconnected
+    solution components — exactly what the 1-flip chain above cannot do
+    (the residual bias identified in MH_CHAIN_STUDY.json)."""
+    from diffusionsat_tpu.sat.cnf import VariableAssignment
+    from diffusionsat_tpu.uniformity.samplers import XorCellJumpRefiner
+
+    # solutions: 00 and 11 only (Hamming distance 2 — disconnected)
+    cnf2 = CNF(n_vars=2, clauses=[[1, -2], [-1, 2]])
+
+    class Seed00:
+        def samples(self, n):
+            a = VariableAssignment(2, cnf2.clauses())
+            a.assign_all_from_bit_list([0, 0])
+            return {int(a): n}
+
+    ref = XorCellJumpRefiner(cnf2, Seed00(), n_jumps=6, seed=0)
+    counts = ref.samples(400)
+    assert sum(counts.values()) == 400
+    assert set(counts) == {0, 3}, counts  # both components reached
+    # uniform stationary: ~200/200 (binomial(400, 1/2) 5-sigma ≈ 50)
+    assert abs(counts[0] - 200) < 50, counts
+
+
+def test_xor_jump_refiner_uniform_over_multi_component_set():
+    """Biased multi-component seeding is driven to chi2-uniform over the
+    full solution set, and every output still satisfies."""
+    from diffusionsat_tpu.sat.cnf import VariableAssignment
+    from diffusionsat_tpu.sat.solvers import enumerate_models
+    from diffusionsat_tpu.uniformity.samplers import XorCellJumpRefiner
+
+    # (x1=x2) and (x3=x4): 4 solutions pairwise >= 2 flips apart — the
+    # solution graph is 4 isolated vertices
+    cnf = CNF(n_vars=4, clauses=[[1, -2], [-1, 2], [3, -4], [-3, 4]])
+    models, complete = enumerate_models(cnf.clauses(), 4, 100)
+    assert complete and len(models) == 4
+
+    class BiasedSeeds:
+        def samples(self, n):
+            # 90% on solution 0000, 10% on 1111
+            a0 = VariableAssignment(4, cnf.clauses())
+            a0.assign_all_from_bit_list([0, 0, 0, 0])
+            a1 = VariableAssignment(4, cnf.clauses())
+            a1.assign_all_from_bit_list([1, 1, 1, 1])
+            return {int(a0): (9 * n) // 10, int(a1): n - (9 * n) // 10}
+
+    ref = XorCellJumpRefiner(cnf, BiasedSeeds(), n_jumps=8, seed=1)
+    counts = ref.samples(800)
+    assert sum(counts.values()) == 800
+    for k in counts:
+        a = VariableAssignment(4, cnf.clauses())
+        a.assign_all_from_int(k)
+        assert a.satisfiable()
+    assert len(counts) == 4, counts  # full support incl. unseeded comps
+    ideal = {}
+    for row in models:
+        a = VariableAssignment(4, cnf.clauses())
+        a.assign_all_from_bit_list([int(b) for b in row])
+        ideal[int(a)] = 800 / 4
+    assert chi_square_likelihood(counts, ideal) > 1e-3, counts

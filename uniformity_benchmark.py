@@ -31,6 +31,7 @@ from diffusionsat_tpu.uniformity.samplers import (
     ExactUniformSampler,
     MetropolisRefiner,
     WalkSatSampler,
+    XorCellJumpRefiner,
 )
 from diffusionsat_tpu.utils.chi_square import chi_square_likelihood
 
@@ -107,7 +108,8 @@ def main(argv=None):
                         "(uniform,walksat,walksat_mh,diffusion,"
                         "diffusion_nofreeze,diffusion_latefreeze,"
                         "diffusion_sample,diffusion_mh,"
-                        "diffusion_latefreeze_mh); default: the round-2 "
+                        "diffusion_latefreeze_mh,diffusion_mh_xor,"
+                        "walksat_mh_xor); default: the round-2 "
                         "core five (no _mh/_sample extras)")
     args = p.parse_args(argv)
     selected = (set(args.variants.split(","))
@@ -144,6 +146,9 @@ def main(argv=None):
         if selected is not None and "walksat_mh" in selected:
             samplers.append(("walksat_mh", MetropolisRefiner(
                 cnf, WalkSatSampler(cnf, seed=2 + fi), seed=12 + fi)))
+        if selected is not None and "walksat_mh_xor" in selected:
+            samplers.append(("walksat_mh_xor", XorCellJumpRefiner(
+                cnf, WalkSatSampler(cnf, seed=2 + fi), seed=22 + fi)))
         if diffusion_params is not None:
             from diffusionsat_tpu.diffusion.sampler import DiffusionSampler
             # two regimes: the reference's early-freeze (pins a graph the
@@ -183,6 +188,16 @@ def main(argv=None):
                         diffusion_steps=args.diffusion_steps,
                         test_rounds=args.test_rounds, seed=7 + fi,
                         freeze_sat=False), seed=17 + fi)))
+            if selected is not None and "diffusion_mh_xor" in selected:
+                # cross-component jumps on top of the MH sweeps — removes
+                # the proposal's component-hitting bias, the residual the
+                # 1-flip chain provably cannot move (MH_CHAIN_STUDY.json)
+                samplers.append(("diffusion_mh_xor", XorCellJumpRefiner(
+                    cnf, DiffusionSampler(
+                        diffusion_params, cfg, cnf,
+                        diffusion_steps=args.diffusion_steps,
+                        test_rounds=args.test_rounds, seed=7 + fi,
+                        freeze_sat=False), seed=27 + fi)))
             if selected is not None and "diffusion_latefreeze_mh" in selected:
                 samplers.append(("diffusion_latefreeze_mh", MetropolisRefiner(
                     cnf, DiffusionSampler(
