@@ -264,7 +264,7 @@ def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
         for i in range(prediction_tries):
             key, sub = jax.random.split(key)
             logits, loss, steps, _ = apply_fn(params, cfg, batch, sub,
-                                              training=False)
+                                              training=False, **extra)
             sat_g = is_graph_sat(logits, batch)           # [G, 1]
             newly = jnp.clip(sat_g - solved, 0.0, 1.0)
             var_mask = graph_gather_vars(batch, newly)
@@ -279,10 +279,12 @@ def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
 def evaluate_metrics(params, cfg, data, metrics: list[Metric],
                      key: jax.Array, max_batches: int | None = None,
                      apply_fn: Callable = query_sat_apply,
-                     noise_scale: float | None = None) -> dict:
+                     noise_scale: float | None = None,
+                     prediction_tries: int = 1) -> dict:
     """Run predict over a dataset, accumulate metrics
     (reference main.py:324-352)."""
     predict_step = make_predict_step(cfg, apply_fn,
+                                     prediction_tries=prediction_tries,
                                      noise_scale=noise_scale)
     it = iter(data)
     if max_batches is not None:

@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--test_rounds", type=int, default=64)
     p.add_argument("--max_batches", type=int, default=0,
                    help="0 = the whole test split")
+    p.add_argument("--tries", type=int, default=1,
+                   help="multi-try predict (reference model/query_sat.py"
+                        ":426-445): re-run with fresh randomness, keep "
+                        "each graph's first solving attempt")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -65,9 +69,9 @@ def main(argv=None):
         params, model_cfg, batches, [SATAccuracy(), StepStatistics()],
         jax.random.key(args.seed + 1),
         max_batches=(args.max_batches or None),
-        noise_scale=args.noise)
+        noise_scale=args.noise, prediction_tries=args.tries)
     result = {"model_ckpt": args.model_ckpt, "noise": args.noise,
-              "test_rounds": args.test_rounds,
+              "test_rounds": args.test_rounds, "tries": args.tries,
               "n_test_batches": len(batches), **vals}
     print(json.dumps(result))
     if args.out:
