@@ -159,8 +159,19 @@ _DIM_LEVELS = ((8, 48), (12, 64), (16, 80), (20, 96), (24, 112),
                (28, 128), (32, 144), (48, 224), (64, 288), (96, 448),
                (128, 576))
 
+# finer grid (step-2 vars, clause dim snapped to the threshold ratio
+# 4.258n + 58.26 n^(-2/3) rounded up to 8): measured on the 60k-instance
+# k16 flagship cache, incidence fill 75.7% -> 86.5% and var-block fill
+# 82.0% -> 90.9% with g_quantum=16 (24 shapes vs 14). Opt in with
+# DSAT_FINE_BLOCKS=1 — each extra shape is one more server-side XLA
+# compile, so the default stays coarse for running jobs.
+_FINE_DIM_LEVELS = tuple(
+    (v, int(-(-(4.258 * v + 58.26 * v ** (-2.0 / 3.0)) // 8) * 8))
+    for v in range(6, 33, 2)) + ((48, 224), (64, 288), (96, 448),
+                                 (128, 576))
 
-def densify_batches_quantized(batches, g_quantum: int = 32
+
+def densify_batches_quantized(batches, g_quantum: int | None = None
                               ) -> list[DenseSatBatch]:
     """Per-batch dense dims snapped to a small set of quantized levels.
 
@@ -172,8 +183,14 @@ def densify_batches_quantized(batches, g_quantum: int = 32
     shapes stay bounded by the level table times a couple of G levels
     (one XLA program each, persistent-cached).
     """
+    import os
+    fine = os.environ.get("DSAT_FINE_BLOCKS", "0") == "1"
+    table = _FINE_DIM_LEVELS if fine else _DIM_LEVELS
+    if g_quantum is None:
+        g_quantum = 16 if fine else 32
+
     def level_for(maxv: int, maxc: int) -> tuple[int, int]:
-        for vg, cg in _DIM_LEVELS:
+        for vg, cg in table:
             if maxv <= vg and maxc <= cg:
                 return vg, cg
         # beyond the table the dense incidence would be O(Vg*Cg) per
@@ -181,7 +198,7 @@ def densify_batches_quantized(batches, g_quantum: int = 32
         # take the flat edge-list path (diffusion_training.py fallback).
         raise ValueError(
             f"graph with {maxv} vars / {maxc} clauses exceeds the dense "
-            f"block levels (max {_DIM_LEVELS[-1]}); use the flat layout")
+            f"block levels (max {table[-1]}); use the flat layout")
 
     out = []
     for b in batches:

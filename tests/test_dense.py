@@ -321,3 +321,34 @@ def test_densify_batches_shared_dims():
     assert len(dims) == 1
     for f, d in zip(flats, denses):
         assert float(np.sum(d.incidence)) == float(np.sum(f.edge_mask_c))
+
+
+def test_densify_fine_blocks(monkeypatch):
+    """DSAT_FINE_BLOCKS=1 selects the step-2 level table: tighter blocks,
+    same content (the padding-invariance the equivalence suite locks
+    holds for any block dims that fit the graphs)."""
+    from diffusionsat_tpu.graph.dense_batch import (
+        _FINE_DIM_LEVELS,
+        densify_batches_quantized,
+    )
+
+    # clause dims must cover threshold 3-SAT at every var level
+    for v, c in _FINE_DIM_LEVELS:
+        assert c >= 4.258 * v + 58.26 * v ** (-2.0 / 3.0) or v >= 48
+
+    bucket = BucketSpec(max_vars=128, max_clauses=512, max_edges=2048,
+                        max_graphs=16)
+    flats = []
+    for s, (lo, hi) in enumerate([(3, 6), (10, 13), (26, 30)]):
+        formulas, sols = _random_formulas(np.random.default_rng(s), 3,
+                                          min_vars=lo, max_vars=hi)
+        flats.append(build_batch(formulas, bucket, solutions=sols))
+    coarse = densify_batches_quantized(flats)
+    monkeypatch.setenv("DSAT_FINE_BLOCKS", "1")
+    fine = densify_batches_quantized(flats)
+    # finer grid never pads more, usually less
+    for c, f in zip(coarse, fine):
+        assert f.Vg <= c.Vg and f.Cg <= c.Cg and f.G <= c.G
+        assert float(np.sum(f.incidence)) == float(np.sum(c.incidence))
+    # mid-size batch lands strictly tighter (10-13 vars: coarse 16, fine 14)
+    assert fine[1].Vg < coarse[1].Vg
