@@ -65,9 +65,14 @@ for i in $(seq 1 20); do
     echo "=== flagship finished cleanly ($(date -u)) ==="
     break
   fi
-  if [ -z "$CKPT" ]; then
-    CKPT=$(ls -dt runs_flagship/query_sat_3-sat_${LABEL}_*/ckpt 2>/dev/null | head -1)
-  fi
+  # resume from the newest run dir that actually has a saved step —
+  # NOT the original $CKPT: when this invocation itself started from a
+  # resume dir, re-restoring it would discard every step since.
+  latest=""
+  for d in $(ls -dt runs_flagship/query_sat_3-sat_${LABEL}_*/ckpt 2>/dev/null); do
+    if ls "$d" 2>/dev/null | grep -qE '^[0-9]+$'; then latest="$d"; break; fi
+  done
+  [ -n "$latest" ] && CKPT="$latest"
   echo "=== exited with $code; restarting from ${CKPT:-scratch} ==="
   sleep 10
 done
