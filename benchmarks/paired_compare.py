@@ -91,9 +91,13 @@ def main(argv=None):
         f"{args.b_name}_chi2_p": [vb[fi]["chi2_p"] for fi in common],
         "per_formula": per_formula,
     }
-    ga, gb = (summary[f"{args.a_name}_mean_entropy_gap"],
-              summary[f"{args.b_name}_mean_entropy_gap"])
-    if ga and gb:
+    # ratio from unrounded means; a mean gap of exactly 0.0 (perfect
+    # uniformity) is a valid denominator-zero case, not a missing value
+    gas = [va[fi]["entropy_gap"] for fi in common]
+    gbs = [vb[fi]["entropy_gap"] for fi in common]
+    ga = sum(gas) / len(gas) if gas else None
+    gb = sum(gbs) / len(gbs) if gbs else None
+    if ga is not None and gb is not None and ga != 0:
         summary["gap_ratio_b_over_a"] = round(gb / ga, 3)
     print(json.dumps({k: v for k, v in summary.items()
                       if k != "per_formula"}, indent=1))

@@ -162,9 +162,11 @@ _DIM_LEVELS = ((8, 48), (12, 64), (16, 80), (20, 96), (24, 112),
 # finer grid (step-2 vars, clause dim snapped to the threshold ratio
 # 4.258n + 58.26 n^(-2/3) rounded up to 8): measured on the 60k-instance
 # k16 flagship cache, incidence fill 75.7% -> 86.5% and var-block fill
-# 82.0% -> 90.9% with g_quantum=16 (24 shapes vs 14). Opt in with
-# DSAT_FINE_BLOCKS=1 — each extra shape is one more server-side XLA
-# compile, so the default stays coarse for running jobs.
+# 82.0% -> 90.9% with g_quantum=16 (24 shapes vs 14). DEFAULT since
+# round 3 — measured +25% train throughput on the flagship workload
+# (BENCH_FINE_r03: 51.5 vs 41.3 M edge-traversals/s/chip, 45.4 ms/step).
+# Opt back to the coarse table with DSAT_FINE_BLOCKS=0 (fewer XLA
+# programs, e.g. for quick cold-cache smoke runs).
 _FINE_DIM_LEVELS = tuple(
     (v, int(-(-(4.258 * v + 58.26 * v ** (-2.0 / 3.0)) // 8) * 8))
     for v in range(6, 33, 2)) + ((48, 224), (64, 288), (96, 448),
@@ -184,7 +186,7 @@ def densify_batches_quantized(batches, g_quantum: int | None = None
     (one XLA program each, persistent-cached).
     """
     import os
-    fine = os.environ.get("DSAT_FINE_BLOCKS", "0") == "1"
+    fine = os.environ.get("DSAT_FINE_BLOCKS", "1") == "1"
     table = _FINE_DIM_LEVELS if fine else _DIM_LEVELS
     if g_quantum is None:
         g_quantum = 16 if fine else 32

@@ -50,6 +50,11 @@ class NeuroCoreConfig:
     n_score_layers: int = 2
     # True -> SimpleNeuroSAT: variable-space states + query mechanism
     use_query: bool = False
+    # emit the reference's per-round query diagnostics through aux
+    # (simple_neurosat.py:124-177: query_stats at rounds 0/16/last +
+    # consecutive-round query agreement). Off by default — meant for a
+    # separate diagnostics forward, like QuerySAT's round_stats.
+    diagnostics: bool = False
 
     def mlp_configs(self):
         f = self.feature_maps
@@ -91,6 +96,50 @@ def neurocore_init(key: jax.Array, cfg: NeuroCoreConfig) -> dict:
     return params
 
 
+def _query_stats(query: jnp.ndarray, logits: jnp.ndarray,
+                 batch: SatBatch) -> dict:
+    """Reference `query_stats` (model/simple_neurosat.py:138-177) as pure
+    scalar outputs: how well the query MLP's rounded output agrees with
+    the current logits, and what fraction of clauses the rounded query
+    already satisfies. Padding-masked (the reference has no padding).
+    NB the reference computes `query_matching_values` and
+    `query_not_matching_values` from the same expression (:162-163, an
+    upstream slip); here matching uses `match`, not-matching `1-match`."""
+    vmask = batch.var_mask[:, None]                       # [V, 1]
+    n_vars = jnp.maximum(jnp.sum(batch.var_mask), 1.0)
+    n_clauses = jnp.maximum(jnp.sum(batch.clause_mask), 1.0)
+
+    current_labels = jnp.round(jax.nn.sigmoid(logits))    # [V, 1]
+    round_query = jnp.round(jax.nn.sigmoid(query))        # [V, f]
+    match = (current_labels == round_query).astype(jnp.float32) * vmask
+
+    # per-variable clause-occurrence counts (pos + neg literal degrees)
+    ones = jnp.ones((batch.C, 1))
+    lit_deg = clause_to_lit(batch, ones)                  # [2V, 1]
+    V = batch.V
+    vars_count = lit_deg[:V] + lit_deg[V:]                # [V, 1]
+
+    denom = n_vars * match.shape[-1]
+    sig_q = jax.nn.sigmoid(query) * vmask
+    not_match = (1.0 - match) * vmask
+    stats = {
+        "query_logits_match": jnp.sum(match) / denom,
+        "vars_in_clauses_matched": jnp.sum(vars_count * match) / denom,
+        "vars_in_clauses_not_matched": jnp.sum(vars_count * not_match)
+        / denom,
+        "matching_mean": jnp.sum(sig_q * match) / denom,
+        "not_matching_mean": jnp.sum(sig_q * not_match) / denom,
+    }
+    # fraction of clauses the rounded query satisfies (feature column 0
+    # plays the reference's per-column role; we report the mean over all
+    # feature columns exactly as the reference's reduce_mean does)
+    lit = jnp.concatenate([round_query, 1.0 - round_query], axis=0)
+    sat_c = jnp.clip(lit_to_clause(batch, lit), 0.0, 1.0)  # [C, f]
+    sat_c = sat_c * batch.clause_mask[:, None]
+    stats["sat_clauses"] = jnp.sum(sat_c) / (n_clauses * lit.shape[-1])
+    return stats
+
+
 def neurocore_apply(params: dict, cfg: NeuroCoreConfig, batch: SatBatch,
                     key: jax.Array, training: bool = True,
                     rounds: int | None = None):
@@ -109,8 +158,14 @@ def neurocore_apply(params: dict, cfg: NeuroCoreConfig, batch: SatBatch,
     def flip(lits):
         return jnp.concatenate([lits[V:], lits[:V]], axis=0)
 
+    diag = cfg.use_query and cfg.diagnostics
+
     def round_body(carry, _):
-        L, C, last_logits, loss_sum, steps, done = carry
+        if diag:
+            L, C, last_logits, loss_sum, steps, done, prev_q = carry
+        else:
+            L, C, last_logits, loss_sum, steps, done = carry
+        query = None
 
         if cfg.use_query:
             # SimpleNeuroSAT (reference simple_neurosat.py:67-105)
@@ -168,19 +223,57 @@ def neurocore_apply(params: dict, cfg: NeuroCoreConfig, batch: SatBatch,
                           jax.lax.stop_gradient(C) * 0.2 + C * 0.8, C)
 
         done = jnp.logical_or(done, sat_now)
+        if diag:
+            # reference log_differences (simple_neurosat.py:124-136):
+            # fraction of rounded query bits unchanged vs previous round
+            vmask = batch.var_mask[:, None]
+            n_active = jnp.maximum(jnp.sum(batch.var_mask), 1.0)
+            same = (jnp.round(jax.nn.sigmoid(query))
+                    == jnp.round(jax.nn.sigmoid(prev_q)))
+            ys = dict(_query_stats(query, logits, batch))
+            ys["queries_diff"] = (jnp.sum(same.astype(jnp.float32) * vmask)
+                                  / (n_active * query.shape[-1]))
+            return (L, C, last_logits, loss_sum, steps, done, query), ys
         return (L, C, last_logits, loss_sum, steps, done), None
 
     init = (L0, C0, jnp.zeros((V, 1)), jnp.zeros(()),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
+    if diag:
+        init = init + (jnp.zeros((V, f)),)
     body = jax.checkpoint(round_body) if training else round_body
-    (L, C, last_logits, loss_sum, steps, done), _ = \
-        jax.lax.scan(body, init, None, length=rounds)
+    carry, ys = jax.lax.scan(body, init, None, length=rounds)
+    L, C, last_logits, loss_sum, steps, done = carry[:6]
 
     loss = loss_sum / jnp.asarray(rounds, jnp.float32)
     steps_taken = jnp.maximum(steps - 1, 0)
-    return last_logits, loss, steps_taken, {"solved": done}
+    aux = {"solved": done}
+    if diag:
+        # reference emits query_stats at rounds 0, 16, and the last
+        # active round (simple_neurosat.py:109-121); queries_diff is the
+        # full per-round agreement curve
+        aux["query_stats"] = {
+            "0": {k: v[0] for k, v in ys.items() if k != "queries_diff"},
+            "16": {k: v[jnp.minimum(16, rounds - 1)] for k, v in ys.items()
+                   if k != "queries_diff"},
+            "last": {k: v[steps_taken] for k, v in ys.items()
+                     if k != "queries_diff"},
+        }
+        aux["queries_diff"] = ys["queries_diff"]
+    return last_logits, loss, steps_taken, aux
 
 
-# SimpleNeuroSAT is NeuroCore with the query mechanism enabled
+# SimpleNeuroSAT is NeuroCore with the query mechanism enabled — a
+# distinct registry citizen (reference model/simple_neurosat.py:13-221):
+# variable-space states, query MLP feeding the differentiable clause
+# loss into the clause update, stop-grad blend, query diagnostics.
+@dataclasses.dataclass(frozen=True)
+class SimpleNeuroSATConfig(NeuroCoreConfig):
+    use_query: bool = True
+
+
+simple_neurosat_init = neurocore_init
+simple_neurosat_apply = neurocore_apply
+
+
 def simple_neurosat_config(**kw) -> NeuroCoreConfig:
     return NeuroCoreConfig(use_query=True, **kw)

@@ -53,8 +53,8 @@ MODEL_REGISTRY.register("neurocore", _model_entry(
     "diffusionsat_tpu.models.neurocore", "NeuroCoreConfig", "neurocore_init",
     "neurocore_apply"))
 MODEL_REGISTRY.register("simple_neurosat", _model_entry(
-    "diffusionsat_tpu.models.neurocore", "NeuroCoreConfig", "neurocore_init",
-    "neurocore_apply"))
+    "diffusionsat_tpu.models.neurocore", "SimpleNeuroSATConfig",
+    "simple_neurosat_init", "simple_neurosat_apply"))
 MODEL_REGISTRY.register("attention_sat", _model_entry(
     "diffusionsat_tpu.models.attention_sat", "AttentionSATConfig",
     "attention_sat_init", "attention_sat_apply"))

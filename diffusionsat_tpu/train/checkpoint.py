@@ -99,6 +99,14 @@ def restore_model_params(model_ckpt: str | Path, init_fn, cfg) -> Any:
     restored = CheckpointManager(model_ckpt).restore(template)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {model_ckpt}")
+    # the template (and hence the restored arrays) live on CPU; move the
+    # params to the default backend so jitted calls don't see mixed
+    # CPU/TPU arguments (evaluate_metrics device_puts its batches to the
+    # default device — a ckpt-dir restore used to crash there while the
+    # .npz path, returning host numpy, worked)
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        return jax.device_put(restored.params, dev)
     return restored.params
 
 

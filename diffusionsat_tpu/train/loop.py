@@ -261,6 +261,7 @@ def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
         solved = jnp.zeros((batch.G, 1))
         loss = jnp.zeros(())
         steps = jnp.zeros((), jnp.int32)
+        logits = final
         for i in range(prediction_tries):
             key, sub = jax.random.split(key)
             logits, loss, steps, _ = apply_fn(params, cfg, batch, sub,
@@ -270,6 +271,13 @@ def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
             var_mask = graph_gather_vars(batch, newly)
             final = final + logits * var_mask
             solved = solved + newly
+        # graphs no try solved keep the LAST try's logits (instead of
+        # all-zero = sigmoid 0.5 per var) so per-variable accuracy stays
+        # comparable with tries=1; graph-level solved rates are
+        # unaffected (reference predict keeps first-solving semantics,
+        # model/query_sat.py:426-445)
+        unsolved = graph_gather_vars(batch, jnp.clip(1.0 - solved, 0.0, 1.0))
+        final = final + logits * unsolved
         return {"prediction": final[:, 0], "loss": loss,
                 "steps_taken": steps}
 

@@ -33,7 +33,12 @@ if [ -f pretrained/ml167k_resume.tar.gz ]; then
   # cross-round resume: unpack the committed TrainState checkpoint
   mkdir -p runs_flagship
   tar -xzf pretrained/ml167k_resume.tar.gz -C runs_flagship
-  RESUME=$(ls -dt runs_flagship/query_sat_3-sat_ml167k_*/ckpt 2>/dev/null | head -1)
+  # newest run dir that actually has a saved numeric step (a stale
+  # crashed-before-save dir must not win — same filter as
+  # run_flagship.sh's restart loop)
+  for d in $(ls -dt runs_flagship/query_sat_3-sat_ml167k_*/ckpt 2>/dev/null); do
+    if ls "$d" 2>/dev/null | grep -qE '^[0-9]+$'; then RESUME="$d"; break; fi
+  done
   echo "resuming ML flagship from $RESUME"
 fi
 
@@ -42,22 +47,32 @@ STEPS=167000 LABEL=ml167k DEADLINE_S="$TRAIN_DEADLINE_S" STALE_S=420 \
   bash run_flagship.sh
 sleep 15
 
-ML_RUN=$(ls -dt runs_flagship/query_sat_3-sat_ml167k_* 2>/dev/null | head -1)
+# newest run dir whose ckpt has a saved numeric step — an mtime-newest
+# attempt that crashed pre-save must not be exported/tarred (it would
+# clobber the good committed resume tarball with an empty one)
+ML_RUN=""
+for d in $(ls -dt runs_flagship/query_sat_3-sat_ml167k_* 2>/dev/null); do
+  if ls "$d/ckpt" 2>/dev/null | grep -qE '^[0-9]+$'; then ML_RUN="$d"; break; fi
+done
 ML_CKPT="$ML_RUN/ckpt"
-if [ -d "$ML_CKPT" ]; then
+if [ -n "$ML_RUN" ] && [ -d "$ML_CKPT" ]; then
   echo "=== export ML pretrained + resume tarball from $ML_CKPT ($(date -u)) ==="
   timeout 900 $CPU_ENV python export_pretrained.py --ckpt "$ML_CKPT" \
     --model query_sat --out pretrained/query_sat_3sat_diffusion_ml.npz
   # keep only the latest orbax step in the tarball (they are small but
   # the round keeps many); repack from a trimmed copy
   latest_step=$(ls "$ML_CKPT" | grep -E '^[0-9]+$' | sort -n | tail -1)
-  staging=$(mktemp -d)
-  mkdir -p "$staging/$(basename "$ML_RUN")/ckpt"
-  cp -r "$ML_CKPT/$latest_step" "$staging/$(basename "$ML_RUN")/ckpt/"
-  cp "$ML_RUN"/config.json "$staging/$(basename "$ML_RUN")/" 2>/dev/null
-  tar -czf pretrained/ml167k_resume.tar.gz -C "$staging" .
-  rm -rf "$staging"
-  echo "resume tarball: $(du -h pretrained/ml167k_resume.tar.gz)"
+  if [ -n "$latest_step" ]; then
+    staging=$(mktemp -d)
+    mkdir -p "$staging/$(basename "$ML_RUN")/ckpt"
+    cp -r "$ML_CKPT/$latest_step" "$staging/$(basename "$ML_RUN")/ckpt/"
+    cp "$ML_RUN"/config.json "$staging/$(basename "$ML_RUN")/" 2>/dev/null
+    tar -czf pretrained/ml167k_resume.tar.gz -C "$staging" .
+    rm -rf "$staging"
+    echo "resume tarball: $(du -h pretrained/ml167k_resume.tar.gz)"
+  else
+    echo "no saved step in $ML_CKPT; keeping the committed resume tarball"
+  fi
 
   echo "=== raw-proposal battery on the ML checkpoint ($(date -u)) ==="
   timeout 2400 python uniformity_benchmark.py --model_ckpt "$ML_CKPT" \

@@ -324,9 +324,10 @@ def test_densify_batches_shared_dims():
 
 
 def test_densify_fine_blocks(monkeypatch):
-    """DSAT_FINE_BLOCKS=1 selects the step-2 level table: tighter blocks,
-    same content (the padding-invariance the equivalence suite locks
-    holds for any block dims that fit the graphs)."""
+    """The (default) fine step-2 level table gives tighter blocks than
+    the DSAT_FINE_BLOCKS=0 coarse table, with the same content (the
+    padding-invariance the equivalence suite locks holds for any block
+    dims that fit the graphs)."""
     from diffusionsat_tpu.graph.dense_batch import (
         _FINE_DIM_LEVELS,
         densify_batches_quantized,
@@ -343,6 +344,7 @@ def test_densify_fine_blocks(monkeypatch):
         formulas, sols = _random_formulas(np.random.default_rng(s), 3,
                                           min_vars=lo, max_vars=hi)
         flats.append(build_batch(formulas, bucket, solutions=sols))
+    monkeypatch.setenv("DSAT_FINE_BLOCKS", "0")
     coarse = densify_batches_quantized(flats)
     monkeypatch.setenv("DSAT_FINE_BLOCKS", "1")
     fine = densify_batches_quantized(flats)
