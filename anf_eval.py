@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--max_clauses", type=int, default=8704)
     p.add_argument("--max_edges", type=int, default=32768)
     p.add_argument("--max_graphs", type=int, default=8)
+    p.add_argument("--tries", type=int, default=1,
+                   help="multi-try predict: re-run with fresh randomness, "
+                        "keep each system's first solving attempt "
+                        "(reference model/query_sat.py:426-445 applied "
+                        "to ANF via losses.anf.is_graph_sat_anf)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -68,8 +73,13 @@ def main(argv=None):
         dev = jax.devices()[0]
         test_batches = [jax.device_put(b, dev) for b in test_batches]
 
+    from diffusionsat_tpu.losses.anf import is_graph_sat_anf
+
     vals = evaluate_metrics(params, cfg, test_batches, [ANFAccuracy()],
-                            jax.random.key(9), apply_fn=anf_sat_apply)
+                            jax.random.key(9), apply_fn=anf_sat_apply,
+                            prediction_tries=args.tries,
+                            graph_sat_fn=is_graph_sat_anf)
+    vals["tries"] = args.tries
     print(f"[full testset] {vals}")
     if args.out:
         with open(args.out, "w") as f:

@@ -135,3 +135,22 @@ def return_messages_cplx(batch: ANFBatch, loss_to_vars: jnp.ndarray
     var_real = exp_len * jnp.cos(sum_angles)
     var_im = exp_len * jnp.sin(sum_angles)
     return jnp.concatenate([var_real, var_im], axis=-1)
+
+
+def is_graph_sat_anf(logits: jnp.ndarray, batch: ANFBatch) -> jnp.ndarray:
+    """[G, K] per-graph solved indicator: every equation of the graph
+    evaluates to its target parity under the rounded assignment — the
+    jit-side analog of metrics.ANFAccuracy's host check (reference
+    metrics/anf_metrics.py:5-66), used by multi-try predict. Bit
+    convention matches the model: bit 1 -> strongly negative logit."""
+    import jax
+
+    hard = jnp.where(jax.nn.sigmoid(logits) > 0.5, -10.0, 10.0)
+    cv, _, _ = anf_value_real(hard, batch)        # [C, K]; padding -> +1
+    ok = (cv > 0.5).astype(jnp.float32)
+    ok_in_g = jax.ops.segment_sum(ok, batch.clause_graph,
+                                  num_segments=batch.G + 1,
+                                  indices_are_sorted=True)[:batch.G]
+    total = batch.n_clauses_per_graph[:, None]
+    return jnp.clip(ok_in_g + 1 - total, 0.0, 1.0) * \
+        batch.graph_mask[:, None]

@@ -237,16 +237,22 @@ def make_selfsupervised_train_step(cfg: QuerySATConfig,
 
 def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
                       prediction_tries: int = 1,
-                      noise_scale: float | None = None):
+                      noise_scale: float | None = None,
+                      graph_sat_fn: Callable | None = None):
     """Jitted predict step (reference model/query_sat.py:424-451). With
     prediction_tries > 1 the model is re-run with fresh randomness and
     per-graph solutions accumulate across tries (`:426-445`).
     `noise_scale` pins the conditioning noise level (e.g. 1.0 = pure
     solving, no label signal) instead of the reference's uniform draw —
-    removes eval-metric variance from the noise lottery."""
+    removes eval-metric variance from the noise lottery.
+    `graph_sat_fn(logits, batch) -> [G, 1]` decides which graphs a try
+    solved; defaults to CNF is_graph_sat — pass losses.anf.
+    is_graph_sat_anf for ANF batches."""
     from diffusionsat_tpu.losses.sat import is_graph_sat
     from diffusionsat_tpu.ops.graph_ops import graph_gather_vars
 
+    if graph_sat_fn is None:
+        graph_sat_fn = is_graph_sat
     extra = {} if noise_scale is None else {"noise_scale": noise_scale}
 
     @jax.jit
@@ -266,7 +272,7 @@ def make_predict_step(cfg, apply_fn: Callable = query_sat_apply,
             key, sub = jax.random.split(key)
             logits, loss, steps, _ = apply_fn(params, cfg, batch, sub,
                                               training=False, **extra)
-            sat_g = is_graph_sat(logits, batch)           # [G, 1]
+            sat_g = graph_sat_fn(logits, batch)           # [G, 1]
             newly = jnp.clip(sat_g - solved, 0.0, 1.0)
             var_mask = graph_gather_vars(batch, newly)
             final = final + logits * var_mask
@@ -288,12 +294,14 @@ def evaluate_metrics(params, cfg, data, metrics: list[Metric],
                      key: jax.Array, max_batches: int | None = None,
                      apply_fn: Callable = query_sat_apply,
                      noise_scale: float | None = None,
-                     prediction_tries: int = 1) -> dict:
+                     prediction_tries: int = 1,
+                     graph_sat_fn: Callable | None = None) -> dict:
     """Run predict over a dataset, accumulate metrics
     (reference main.py:324-352)."""
     predict_step = make_predict_step(cfg, apply_fn,
                                      prediction_tries=prediction_tries,
-                                     noise_scale=noise_scale)
+                                     noise_scale=noise_scale,
+                                     graph_sat_fn=graph_sat_fn)
     it = iter(data)
     if max_batches is not None:
         it = itertools.islice(it, max_batches)

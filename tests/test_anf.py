@@ -129,3 +129,53 @@ def test_anf_training_init_npz_warm_start(tmp_path):
                                      "--label", "warm",
                                      "--init_npz", str(npz)])
     assert warm == src, (warm, src)
+
+
+def test_is_graph_sat_anf_matches_metric():
+    """Jit-side per-graph solved indicator (multi-try predict) agrees
+    with the host-side ANFAccuracy check on correct and corrupted
+    assignments."""
+    from diffusionsat_tpu.losses.anf import is_graph_sat_anf
+
+    systems, sols = sample_systems(3, seed=4)
+    batch = build_anf_batch(systems, BUCKET, solutions=sols)
+    bits = np.asarray(batch.solutions)
+    # model-logit convention: sigmoid(logit) is the bit probability
+    good = np.where(bits == 1, 10.0, -10.0).astype(np.float32)[:, None]
+    sat = np.asarray(is_graph_sat_anf(jnp.asarray(good), batch))
+    g_mask = np.asarray(batch.graph_mask) > 0
+    assert np.all(sat[g_mask, 0] == 1.0)
+    assert np.all(sat[~g_mask, 0] == 0.0)
+
+    # flip one variable of graph 0 -> at least graph 0 must fail
+    bad = good.copy()
+    v0 = int(np.argmax(np.asarray(batch.var_graph) == 0))
+    bad[v0, 0] = -bad[v0, 0]
+    sat_bad = np.asarray(is_graph_sat_anf(jnp.asarray(bad), batch))
+    assert sat_bad[0, 0] in (0.0, 1.0)
+    assert sat_bad.sum() <= sat.sum()
+
+
+def test_anf_multi_try_predict():
+    """tries>1 with the ANF graph-sat hook: keeps first-solving logits,
+    never reduces the solved count."""
+    from diffusionsat_tpu.losses.anf import is_graph_sat_anf
+    from diffusionsat_tpu.train.loop import make_predict_step
+    from diffusionsat_tpu.train.metrics import ANFAccuracy
+
+    systems, sols = sample_systems(2, seed=5)
+    batch = build_anf_batch(systems, BUCKET, solutions=sols)
+    cfg = ANFSATConfig(feature_maps=16, query_maps=16, train_rounds=2,
+                       test_rounds=2)
+    params = anf_sat_init(jax.random.key(0), cfg)
+
+    outs = {}
+    for tries in (1, 3):
+        step = make_predict_step(cfg, anf_sat_apply,
+                                 prediction_tries=tries,
+                                 graph_sat_fn=is_graph_sat_anf)
+        out = step(params, batch, jax.random.key(3))
+        m = ANFAccuracy()
+        m.update_state(out, batch)
+        outs[tries] = m.get_values(reset_state=True)
+    assert outs[3]["total_accuracy"] >= outs[1]["total_accuracy"]
