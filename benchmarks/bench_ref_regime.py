@@ -1,0 +1,136 @@
+"""Reference-default regime bench: 30-100 vars (config.py:25-26), 20k
+node budget — the workload VERDICT round-2 flagged as unmeasured (all
+prior perf work targeted the 3-30-var diffusion-driver regime).
+
+Measures the dense per-graph block path vs the flat edge-list path on
+EVERY size-sorted packed batch of the regime, reports the per-batch
+winner, and emits the hybrid (best-path-per-batch) aggregate throughput.
+Dense block area grows ~quadratically with graph size while real edges
+grow linearly, so dense must lose above some var count; this bench
+measures the crossover that sizes the hybrid dispatch default
+(DSAT_DENSE_MAX_VARS in diffusion_training.py).
+
+Run on the TPU:  python benchmarks/bench_ref_regime.py
+Writes BENCH_REF_REGIME.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def time_step(step, state, batch, cycles=6):
+    state2, out = step(state, batch)       # compile + warm
+    float(out["loss"])
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(cycles):
+        s, out = step(s, batch)
+    float(out["loss"])
+    return (time.perf_counter() - t0) / cycles
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--budget", type=int, default=20000)
+    p.add_argument("--n_batches", type=int, default=6)
+    p.add_argument("--min_vars", type=int, default=30)
+    p.add_argument("--max_vars", type=int, default=100)
+    p.add_argument("--cycles", type=int, default=6)
+    p.add_argument("--out", default="BENCH_REF_REGIME.json")
+    args = p.parse_args(argv)
+
+    from diffusionsat_tpu.data.bench_workloads import (
+        threshold_3sat_batches_sorted)
+    from diffusionsat_tpu.graph.dense_batch import densify_batches_quantized
+    from diffusionsat_tpu.models.query_sat import (
+        QuerySATConfig, query_sat_init)
+    from diffusionsat_tpu.models.query_sat_dense import query_sat_dense_apply
+    from diffusionsat_tpu.ops import dense_ops
+    from diffusionsat_tpu.train.adabelief import adabelief
+    from diffusionsat_tpu.train.loop import (
+        TrainState, make_train_step, make_train_step_for)
+
+    rng = np.random.default_rng(0)
+    packed = threshold_3sat_batches_sorted(
+        rng, args.budget, args.n_batches,
+        min_vars=args.min_vars, max_vars=args.max_vars)
+
+    cfg = QuerySATConfig()
+    params = query_sat_init(jax.random.key(0), cfg)
+    opt = adabelief(learning_rate=1e-3)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
+
+    dense_ops.INCIDENCE_PRECISION = jax.lax.Precision.DEFAULT
+    flat_step = make_train_step(cfg, opt)
+    dense_step = make_train_step_for(query_sat_dense_apply, cfg, opt)
+
+    on_tpu = jax.default_backend() == "tpu"
+    dev = jax.devices()[0]
+
+    per_batch = []
+    for bi, (batch, edges) in enumerate(packed):
+        maxv = int(np.max(np.asarray(batch.n_vars_per_graph)))
+        rec = {"batch": bi, "max_vars": maxv, "graphs": int(batch.n_graphs),
+               "edges": edges}
+        b_dev = jax.device_put(batch, dev) if on_tpu else batch
+        rec["flat_ms"] = round(
+            time_step(flat_step, state, b_dev, args.cycles) * 1e3, 2)
+        try:
+            (dense,) = densify_batches_quantized([batch])
+            d_dev = jax.device_put(dense, dev) if on_tpu else dense
+            rec["dense_shape"] = [dense.G, dense.Vg, dense.Cg]
+            fill = float(np.sum(np.asarray(batch.edge_mask_c))) / (
+                dense.G * dense.Vg * 2 * dense.Cg)
+            rec["dense_fill_pct"] = round(100 * fill, 2)
+            rec["dense_ms"] = round(
+                time_step(dense_step, state, d_dev, args.cycles) * 1e3, 2)
+            rec["winner"] = ("dense" if rec["dense_ms"] < rec["flat_ms"]
+                             else "flat")
+        except ValueError as e:
+            rec["dense_ms"] = None
+            rec["winner"] = "flat"
+            rec["dense_note"] = str(e)[:80]
+        print(rec, flush=True)
+        per_batch.append(rec)
+
+    # hybrid aggregate: best path per batch (what auto dispatch delivers)
+    rounds = cfg.train_rounds
+    best_ms = [min(r["flat_ms"], r["dense_ms"] or 1e9) for r in per_batch]
+    total_edges = sum(r["edges"] for r in per_batch)
+    hybrid_edges_per_sec = total_edges * 2 * rounds / (sum(best_ms) / 1e3)
+    flat_edges_per_sec = total_edges * 2 * rounds / (
+        sum(r["flat_ms"] for r in per_batch) / 1e3)
+    crossover = None
+    for r in per_batch:
+        if r["winner"] == "flat":
+            crossover = r["max_vars"]
+            break
+
+    out = {
+        "metric": "ref_regime_train_edge_throughput",
+        "regime": f"{args.min_vars}-{args.max_vars} vars, "
+                  f"{args.budget} node budget (reference config.py:25-26)",
+        "value": round(hybrid_edges_per_sec / 1e6, 3),
+        "unit": "M edge-traversals/s/chip",
+        "flat_only_value": round(flat_edges_per_sec / 1e6, 3),
+        "rounds": rounds,
+        "dense_loses_from_max_vars": crossover,
+        "per_batch": per_batch,
+    }
+    print(json.dumps({k: v for k, v in out.items() if k != "per_batch"}))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,8 @@ from __future__ import annotations
 import sys
 from dataclasses import asdict as dataclasses_asdict
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -127,7 +129,28 @@ def main(argv=None):
                 "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT,
             }[cfg.incidence_precision]
-            dense_batches = densify_batches_quantized(train_data.batches)
+            # hybrid dispatch: densify only the batches that fit the
+            # block tables AND are below the measured dense/flat
+            # crossover (dense block area grows ~quadratically with graph
+            # size while edges grow linearly — BENCH_REF_REGIME); the
+            # rest run the flat edge-list step. DSAT_DENSE_MAX_VARS=0
+            # disables the size cutoff (table capacity still applies).
+            import os as _os
+            dense_max_vars = int(_os.environ.get("DSAT_DENSE_MAX_VARS",
+                                                 "48"))
+            dense_batches, flat_rest = [], []
+            for b in train_data.batches:
+                maxv = int(np.max(np.asarray(b.n_vars_per_graph),
+                                  initial=1))
+                if dense_max_vars and maxv > dense_max_vars:
+                    flat_rest.append(b)
+                    continue
+                try:
+                    dense_batches.extend(densify_batches_quantized([b]))
+                except ValueError:
+                    flat_rest.append(b)
+            if not dense_batches:
+                raise ValueError("no batch fits the dense block tables")
             # pre-place every training batch on the device ONCE: repeated
             # per-step host->device uploads through the axon tunnel leak
             # host memory (~4 MB/step — the 167k flagship run was
@@ -137,6 +160,7 @@ def main(argv=None):
                 dev = jax.devices()[0]
                 dense_batches = [jax.device_put(b, dev)
                                  for b in dense_batches]
+                flat_rest = [jax.device_put(b, dev) for b in flat_rest]
                 print("train batches device-cached", flush=True)
             elif cfg.n_devices > 1 and jax.default_backend() == "tpu":
                 # DP re-uploads host batches per step; through the axon
@@ -152,10 +176,31 @@ def main(argv=None):
                     make_selfsupervised_train_step)
                 train_step = make_selfsupervised_train_step(
                     model_cfg, optimizer, apply_fn=query_sat_dense_apply)
+                if flat_rest:
+                    print(f"WARNING: self-supervised step is dense-only; "
+                          f"{len(flat_rest)} over-cutoff batches excluded",
+                          flush=True)
             else:
-                train_step = make_train_step_for(query_sat_dense_apply,
+                dense_step = make_train_step_for(query_sat_dense_apply,
                                                  model_cfg, optimizer)
+                if flat_rest:
+                    from diffusionsat_tpu.graph.dense_batch import (
+                        DenseSatBatch)
+                    flat_step = make_train_step(model_cfg, optimizer)
+
+                    def train_step(state, batch):
+                        if isinstance(batch, DenseSatBatch):
+                            return dense_step(state, batch)
+                        return flat_step(state, batch)
+                else:
+                    train_step = dense_step
             diag_apply = query_sat_dense_apply
+            if flat_rest and not cfg.self_supervised:
+                train_stream = PackedBatches(
+                    list(dense_batches) + list(flat_rest), seed=cfg.seed)
+                print(f"hybrid dispatch: {len(dense_batches)} dense + "
+                      f"{len(flat_rest)} flat batches "
+                      f"(cutoff {dense_max_vars} vars)", flush=True)
             shapes = sorted({(d.G, d.Vg, d.Cg) for d in dense_batches})
             print(f"dense layout shapes (G, Vg, Cg): {shapes}", flush=True)
         except ValueError as e:
@@ -208,7 +253,20 @@ def main(argv=None):
                                             apply_fn=dp_apply)
         else:
             train_step = make_dp_train_step(model_cfg, optimizer, mesh)
-        data_stream = stacked_stream(train_stream.batches, cfg.n_devices,
+        # DP stacks batches along a device axis: all stacked pytrees must
+        # share a structure, so a hybrid dense+flat stream degrades to
+        # its majority layout here
+        dp_batches = train_stream.batches
+        kinds = {type(b).__name__ for b in dp_batches}
+        if len(kinds) > 1:
+            from collections import Counter
+            majority = Counter(type(b).__name__
+                               for b in dp_batches).most_common(1)[0][0]
+            dp_batches = [b for b in dp_batches
+                          if type(b).__name__ == majority]
+            print(f"WARNING: hybrid stream under DP; keeping only the "
+                  f"{majority} batches ({len(dp_batches)})", flush=True)
+        data_stream = stacked_stream(dp_batches, cfg.n_devices,
                                      seed=cfg.seed)
         print(f"data-parallel over {cfg.n_devices} devices", flush=True)
 

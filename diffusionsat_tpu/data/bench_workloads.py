@@ -51,7 +51,8 @@ def threshold_3sat_batch(rng: np.random.Generator, budget: int,
 def threshold_3sat_batches_sorted(rng: np.random.Generator, budget: int,
                                   n_batches: int, min_vars: int = 3,
                                   max_vars: int = 30,
-                                  max_graphs: int = 512):
+                                  max_graphs: int = 512,
+                                  with_formulas: bool = False):
     """Size-sorted packing — the layout the training driver actually runs.
 
     The reference pipeline batches *size-sorted* instances under the node
@@ -82,6 +83,13 @@ def threshold_3sat_batches_sorted(rng: np.random.Generator, budget: int,
     out = []
     cur_f, cur_s = [], []
     v_tot = c_tot = e_tot = 0
+
+    def emit():
+        rec = (build_batch(cur_f, bucket, solutions=cur_s), e_tot)
+        if with_formulas:  # raw (formulas, solutions) for cross-framework
+            rec = rec + (list(cur_f), list(cur_s))  # benches (TF reference)
+        out.append(rec)
+
     for i in order:
         n, clauses = formulas[i]
         m = len(clauses)
@@ -90,7 +98,7 @@ def threshold_3sat_batches_sorted(rng: np.random.Generator, budget: int,
                       or c_tot + m > bucket.max_clauses
                       or e_tot + 3 * m > bucket.max_edges
                       or len(cur_f) >= bucket.max_graphs):
-            out.append((build_batch(cur_f, bucket, solutions=cur_s), e_tot))
+            emit()
             cur_f, cur_s = [], []
             v_tot = c_tot = e_tot = 0
         cur_f.append((n, clauses))
@@ -102,5 +110,5 @@ def threshold_3sat_batches_sorted(rng: np.random.Generator, budget: int,
     # the sorted stream, and dropping it would cut the top of the size
     # range out of the workload
     if cur_f:
-        out.append((build_batch(cur_f, bucket, solutions=cur_s), e_tot))
+        emit()
     return out

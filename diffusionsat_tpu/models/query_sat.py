@@ -75,8 +75,13 @@ class QuerySATConfig:
     # self-conditioning denoised channel (2)
     dtype: Any = jnp.float32
     # matmul operand dtype (None = float32; jnp.bfloat16 for MXU mixed
-    # precision with f32 accumulation)
+    # precision with f32 accumulation). Measured SLOWER on the dense path
+    # (99 vs 86 ms round 2): it re-casts params inside every round.
     compute_dtype: Any = None
+    # block-level bf16 for the dense path (VERDICT round-2 item 9):
+    # params cast ONCE outside the scan, states/activations/incidence
+    # bf16, matmuls accumulate f32, losses and normalizations f32.
+    block_bf16: bool = False
     # rematerialization policy for the training scan body: "none" = save
     # everything (fastest, measured 222 vs 306 ms/step at the 20k-node
     # workload, fits v5e HBM comfortably), "dots" = save matmul outputs,

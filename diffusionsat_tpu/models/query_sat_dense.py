@@ -96,6 +96,22 @@ def query_sat_dense_apply(params: dict, cfg: QuerySATConfig,
     smoothed_labels = jnp.tile(labels.astype(cfg.dtype)[..., None],
                                (1, 1, cfg.logit_maps))
 
+    # block-level bf16 (VERDICT round-2 item 9): params and incidence are
+    # cast ONCE here (the round-2 compute_dtype attempt lost because it
+    # re-cast params inside every scanned round); recurrent states and
+    # hidden activations flow bf16, matmuls accumulate f32, the loss
+    # chain / degree weights / normalizations stay f32. Gradients reach
+    # the f32 master params through the cast (standard mixed precision).
+    if cfg.block_bf16:
+        bf = jnp.bfloat16
+        c = lambda t: t.astype(bf)  # noqa: E731
+        params = jax.tree.map(c, params)
+        batch = batch.replace(incidence=c(batch.incidence))
+        noisy_labels_c = c(noisy_labels)
+    else:
+        c = lambda t: t  # noqa: E731
+        noisy_labels_c = noisy_labels
+
     def round_body(carry, step_idx):
         (variables, clause_state, last_logits, best_map_vars, loss_sum,
          loss_count, steps, done) = carry
@@ -103,11 +119,12 @@ def query_sat_dense_apply(params: dict, cfg: QuerySATConfig,
         k_v1 = jax.random.fold_in(key_loop, step_idx)
 
         # --- query + closed-form clause-loss gradient (reference :227-245)
+        state_dt = variables.dtype
         if cfg.debug_zero_noise:
-            noise4 = jnp.zeros((G, Vg, 4), cfg.dtype)
+            noise4 = jnp.zeros((G, Vg, 4), state_dt)
         else:
-            noise4 = jax.random.normal(k_v1, (G, Vg, 4), cfg.dtype)
-        v1 = jnp.concatenate([variables, noise4, noisy_labels], axis=-1)
+            noise4 = jax.random.normal(k_v1, (G, Vg, 4), state_dt)
+        v1 = jnp.concatenate([variables, noise4, noisy_labels_c], axis=-1)
 
         query = mlp_apply(params["variables_query"],
                           mcfgs["variables_query"][0], v1,
@@ -122,12 +139,13 @@ def query_sat_dense_apply(params: dict, cfg: QuerySATConfig,
                                 compute_dtype=cfg.compute_dtype)
             lit1, lit2 = jnp.split(var_msg, 2, axis=-1)
             literals = jnp.concatenate([lit1, lit2], axis=1)  # [G, 2Vg, Q]
-            clause_messages = dops.lit_to_clause(batch, literals) * \
+            clause_messages = dops.lit_to_clause(batch, c(literals)) * \
                 rev_degree_weight
             clause_unit = jnp.concatenate(
-                [clause_state, clause_messages, clauses_loss], axis=-1)
+                [clause_state, c(clause_messages), c(clauses_loss)],
+                axis=-1)
         else:
-            clause_unit = jnp.concatenate([clause_state, clauses_loss],
+            clause_unit = jnp.concatenate([clause_state, c(clauses_loss)],
                                           axis=-1)
         clause_data = mlp_apply(params["clause_mlp"],
                                 mcfgs["clause_mlp"][0], clause_unit,
@@ -137,21 +155,21 @@ def query_sat_dense_apply(params: dict, cfg: QuerySATConfig,
         new_clause_value = clause_data[..., cfg.query_maps:]
         new_clause_value = dops.pair_norm_clauses(new_clause_value,
                                                   batch) * 0.25
-        new_clause_state = new_clause_value + 0.1 * clause_state
+        new_clause_state = c(new_clause_value + 0.1 * clause_state)
 
         # --- variable update (reference :269-280)
-        variables_loss = dops.clause_to_lit(batch, variables_loss_all) * \
+        variables_loss = dops.clause_to_lit(batch, c(variables_loss_all)) * \
             degree_weight
         variables_loss_pos = variables_loss[:, :Vg]
         variables_loss_neg = variables_loss[:, Vg:]
         unit = jnp.concatenate(
-            [variables_grad, v1, variables_loss_pos, variables_loss_neg],
-            axis=-1)
+            [c(variables_grad), v1, c(variables_loss_pos),
+             c(variables_loss_neg)], axis=-1)
         new_variables = mlp_apply(params["update_gate"],
                                   mcfgs["update_gate"][0], unit,
                                   compute_dtype=cfg.compute_dtype)
         new_variables = dops.pair_norm_vars(new_variables, batch) * 0.25
-        new_variables = new_variables + 0.1 * variables
+        new_variables = c(new_variables + 0.1 * variables)
 
         # --- logits and per-graph loss (reference :283-315)
         logits = mlp_apply(params["variables_output"],
@@ -230,9 +248,10 @@ def query_sat_dense_apply(params: dict, cfg: QuerySATConfig,
             ys = None
         return new_carry, ys
 
+    state_dtype = jnp.bfloat16 if cfg.block_bf16 else cfg.dtype
     init_carry = (
-        jnp.ones((G, Vg, cfg.feature_maps), cfg.dtype),
-        jnp.ones((G, Cg, cfg.feature_maps), cfg.dtype),
+        jnp.ones((G, Vg, cfg.feature_maps), state_dtype),
+        jnp.ones((G, Cg, cfg.feature_maps), state_dtype),
         jnp.zeros((G, Vg, cfg.logit_maps), cfg.dtype),
         jnp.zeros((G, Vg), jnp.int32),
         jnp.zeros((), cfg.dtype),

@@ -89,6 +89,12 @@ def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray,
     act = _ACTS[cfg.activation]
     out_act = _ACTS[cfg.out_activation]
     n = len(params["w"])
+    # block-bf16 flow: bf16 inputs (+ bf16 params, cast once by the
+    # caller) run native bf16 matmuls with f32 accumulation; hidden
+    # activations are written back as bf16, the LAST layer's output stays
+    # f32 for the loss chain. Unlike compute_dtype this adds no per-call
+    # operand casts.
+    bf_flow = (compute_dtype is None and x.dtype == jnp.bfloat16)
 
     def dot(a, w):
         if compute_dtype is not None:
@@ -111,4 +117,6 @@ def mlp_apply(params: dict, cfg: MLPConfig, x: jnp.ndarray,
         else:
             x = dot(x, w) + b
             x = out_act(x) if last else act(x)
+            if bf_flow and not last:
+                x = x.astype(jnp.bfloat16)
     return x

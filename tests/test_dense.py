@@ -354,3 +354,51 @@ def test_densify_fine_blocks(monkeypatch):
         assert float(np.sum(f.incidence)) == float(np.sum(c.incidence))
     # mid-size batch lands strictly tighter (10-13 vars: coarse 16, fine 14)
     assert fine[1].Vg < coarse[1].Vg
+
+
+def test_block_bf16_matches_f32():
+    """Block-level bf16 (params cast once, bf16 states/activations, f32
+    accumulation + losses) stays numerically close to the f32 path and
+    produces finite f32 master-param gradients."""
+    import dataclasses as _dc
+
+    from diffusionsat_tpu.graph.dense_batch import densify_batches
+    from diffusionsat_tpu.models.query_sat import (
+        QuerySATConfig, query_sat_init)
+    from diffusionsat_tpu.models.query_sat_dense import query_sat_dense_apply
+
+    bucket = BucketSpec(max_vars=64, max_clauses=256, max_edges=1024,
+                        max_graphs=8)
+    formulas, sols = _random_formulas(np.random.default_rng(3), 4)
+    flat = build_batch(formulas, bucket, solutions=sols)
+    (dense,) = densify_batches([flat])
+
+    base = QuerySATConfig(feature_maps=32, query_maps=32, train_rounds=4,
+                          test_rounds=4, debug_zero_noise=True)
+    params = query_sat_init(jax.random.key(0), base)
+    labels = jnp.asarray(np.asarray(dense.solutions), jnp.int32)
+
+    outs = {}
+    for bf16 in (False, True):
+        cfg = _dc.replace(base, block_bf16=bf16)
+
+        def loss_fn(p):
+            logits, loss, steps, _ = query_sat_dense_apply(
+                p, cfg, dense, jax.random.key(1), training=True,
+                labels=labels, noise_scale=jnp.float32(0.4))
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        leaves = jax.tree.leaves(grads)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        outs[bf16] = (float(loss), np.asarray(logits, np.float32))
+
+    # bf16 rounding over 4 recurrent rounds: expect percent-level drift,
+    # not divergence
+    f32_loss, f32_logits = outs[False]
+    bf_loss, bf_logits = outs[True]
+    assert abs(bf_loss - f32_loss) <= 0.05 * max(abs(f32_loss), 1.0)
+    denom = np.maximum(np.abs(f32_logits), 1.0)
+    assert np.max(np.abs(bf_logits - f32_logits) / denom) < 0.25
