@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     ap.add_argument("--bf16_mlp", action="store_true")
+    ap.add_argument("--block_bf16", action="store_true",
+                    help="block-level bf16: params/incidence cast once, "
+                         "bf16 states+activations, f32 accum (the "
+                         "VERDICT round-2 item-9 recipe)")
     ap.add_argument("--budget", type=int, default=20_000)
     args = ap.parse_args()
     if not (args.flat or args.dense):
@@ -60,7 +64,7 @@ def main():
     rng = np.random.default_rng(0)
     flat, edges = threshold_3sat_batch(rng, args.budget)
     cfg = QuerySATConfig(compute_dtype=jnp.bfloat16 if args.bf16_mlp
-                         else None)
+                         else None, block_bf16=args.block_bf16)
     params = query_sat_init(jax.random.key(0), cfg)
     opt = adabelief(learning_rate=1e-3)
 
@@ -85,7 +89,8 @@ def main():
         dt = timeit(make_train_step_for(query_sat_dense_apply, cfg, opt),
                     fresh_state(), dense)
         print(json.dumps({"variant": f"dense_{args.precision}"
-                          + ("_bf16mlp" if args.bf16_mlp else ""),
+                          + ("_bf16mlp" if args.bf16_mlp else "")
+                          + ("_blockbf16" if args.block_bf16 else ""),
                           "step_ms": round(dt * 1e3, 2),
                           "edges_per_sec_M": round(
                               edges * 2 * cfg.train_rounds / dt / 1e6, 2),

@@ -43,8 +43,13 @@ if [ -z "$RESUME" ] && [ -f pretrained/ml167k_resume.tar.gz ]; then
 fi
 echo "=== ML flagship: resume from ${RESUME:-scratch} ($(date -u)) ==="
 
-STEPS=167000 LABEL=ml167k DEADLINE_S="$TRAIN_DEADLINE_S" STALE_S=420 \
-  CKPT="$RESUME" EXTRA_ARGS="--label_samples 16" \
+# DSAT_FINE_BLOCKS=0 for THIS resume: the coarse-shape XLA programs are
+# already in the server-side persistent cache from the original run —
+# fine blocks (now the repo default) would pay ~15 fresh multi-minute
+# shape compiles against a 7-min stale watchdog. STALE_S raised anyway
+# so a first-step compile can't be mistaken for a hang.
+STEPS=167000 LABEL=ml167k DEADLINE_S="$TRAIN_DEADLINE_S" STALE_S=900 \
+  CKPT="$RESUME" EXTRA_ARGS="--label_samples 16" DSAT_FINE_BLOCKS=0 \
   bash run_flagship.sh
 sleep 15
 
