@@ -125,8 +125,9 @@ def seed_weights(model) -> dict:
         ws, bs = [], []
         for li, layer in enumerate(mlp.dense_layers):
             k, b = layer.kernel, layer.bias
-            rng = np.random.default_rng(
-                abs(hash((mlp_name, li))) % (2 ** 31))
+            import zlib
+            rng = np.random.default_rng(  # stable across processes
+                zlib.crc32(f"{mlp_name}/{li}".encode()))
             kv = rng.normal(0.0, 0.3 / np.sqrt(k.shape[0]),
                             size=k.shape).astype(np.float32)
             bv = rng.normal(0.0, 0.05, size=b.shape).astype(np.float32)
@@ -198,6 +199,19 @@ def main():
             goldens[f"{tag}/steps"] = np.int32(steps.numpy())
             print(tag, "loss", float(loss.numpy()),
                   "logits[0]", float(logits.numpy()[0, 0]), flush=True)
+
+            # per-layer state goldens: drive the reference `loop`
+            # directly (model/query_sat.py:186-373 returns the final
+            # clause/variable states the public call discards)
+            nv = int(n_vars)
+            nc = int(n_clauses)
+            _, _, _, _, c_state, v_state = model.loop(
+                adj, tf.ones([nc, model.feature_maps]), cg,
+                tf.constant(labels), tf.constant(rounds), True,
+                tf.ones([nv, model.feature_maps]), vg,
+                tf.constant(noise_scale), tf.constant(noisy_num), None)
+            goldens[f"{tag}/clause_state"] = c_state.numpy()
+            goldens[f"{tag}/variables_state"] = v_state.numpy()
 
     tf.random.normal = real_normal
 

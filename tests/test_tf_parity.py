@@ -86,3 +86,17 @@ def test_query_sat_matches_tf_reference(supervised, rounds):
     assert abs(float(loss) - ref_loss) <= 1e-5 * max(abs(ref_loss), 1.0), \
         (tag, float(loss), ref_loss)
     assert int(steps) == ref_steps, (tag, int(steps), ref_steps)
+
+    # per-layer recurrent states after the last round (reference loop
+    # returns them, model/query_sat.py:373) — pins every intermediate
+    # computation, not just the output head
+    # states run through PairNorm rsqrt chains where eager-TF vs XLA
+    # fusion differ at ~2e-6; still float32 round-off class
+    np.testing.assert_allclose(np.asarray(aux["variables_state"]),
+                               g[f"{tag}/variables_state"],
+                               rtol=1e-4, atol=1e-5,
+                               err_msg=f"variables state diverges at {tag}")
+    np.testing.assert_allclose(np.asarray(aux["clause_state"]),
+                               g[f"{tag}/clause_state"],
+                               rtol=1e-4, atol=1e-5,
+                               err_msg=f"clause state diverges at {tag}")
