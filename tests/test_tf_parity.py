@@ -91,12 +91,14 @@ def test_query_sat_matches_tf_reference(supervised, rounds):
     # returns them, model/query_sat.py:373) — pins every intermediate
     # computation, not just the output head
     # states run through PairNorm rsqrt chains where eager-TF vs XLA
-    # fusion differ at ~2e-6; still float32 round-off class
+    # fusion round-off compounds with recurrence depth (~2e-6 at r1,
+    # ~3e-5 at r32); the OUTPUT logits above stay at 1e-5 at any depth
+    s_rtol, s_atol = (1e-4, 1e-5) if rounds <= 4 else (1e-3, 1e-4)
     np.testing.assert_allclose(np.asarray(aux["variables_state"]),
                                g[f"{tag}/variables_state"],
-                               rtol=1e-4, atol=1e-5,
+                               rtol=s_rtol, atol=s_atol,
                                err_msg=f"variables state diverges at {tag}")
     np.testing.assert_allclose(np.asarray(aux["clause_state"]),
                                g[f"{tag}/clause_state"],
-                               rtol=1e-4, atol=1e-5,
+                               rtol=s_rtol, atol=s_atol,
                                err_msg=f"clause state diverges at {tag}")
