@@ -20,10 +20,14 @@ f32 matmul peak (~49 TFLOP/s) — the residual gap is small-row matmuls and
 the elementwise round body, not memory traffic. Ablations incl. the
 single mixed batch and the flat edge-list path: benchmarks/bench_dense.py.
 
-vs_baseline: the reference TF2 code publishes no numbers (BASELINE.md) and
-TF2 is not installed here; the baseline constant is an estimate of the
-reference's T4 step rate (~3.5 steps/s -> ~1e7 edge traversals/s) kept
-fixed across rounds for comparability.
+vs_baseline: the reference TF2 code publishes no numbers (BASELINE.md);
+the baseline constant is an estimate of the reference's T4 step rate
+(~3.5 steps/s -> ~1e7 edge traversals/s) kept fixed across rounds for
+comparability. Since round 3 the output also carries a MEASURED anchor
+when benchmarks/bench_tf_reference.py has been run: the actual reference
+implementation's step time on this host's CPU (TF 2.21) on identical
+batches, and the same-host JAX step time — a software-vs-software ratio
+with no estimated hardware constant in it.
 """
 
 import json
@@ -161,6 +165,16 @@ def main():
         variant == "dense" else int(bench_batches[0].n_graphs),
         "rounds": rounds,
     }
+    # measured reference anchor (benchmarks/bench_tf_reference.py): the
+    # actual TF2 reference step time on this host's CPU, same batches
+    try:
+        with open("BENCH_TF_REF.json") as f:
+            ref = json.load(f)
+        out["tf_ref_cpu_ms_per_step"] = ref["tf_ref_cpu_ms_per_step"]
+        out["vs_tf_ref_same_host_cpu"] = round(
+            edges_per_sec / max(ref["tf_ref_cpu_edges_per_sec"], 1.0), 1)
+    except (FileNotFoundError, KeyError):
+        pass
     if variant == "dense":
         out["shapes"] = sorted({(d.G, d.Vg, d.Cg) for d in denses})
         # matmul roofline accounting (see module docstring)
