@@ -82,7 +82,11 @@ def main():
     n_batches = 6
     packed = threshold_3sat_batches_sorted(rng, 20_000, n_batches)
 
-    cfg = QuerySATConfig()  # full-size: 128 feature/query maps, 32 rounds
+    # full-size: 128 feature/query maps, 32 rounds. DSAT_BLOCK_BF16=1
+    # benches the block-level bf16 path (2.3x on the mixed batch,
+    # BENCH_BLOCKBF16_r03.json)
+    cfg = QuerySATConfig(
+        block_bf16=os.environ.get("DSAT_BLOCK_BF16", "0") == "1")
     params = query_sat_init(jax.random.key(0), cfg)
     opt = adabelief(learning_rate=1e-3)
     state = TrainState(params=params, opt_state=opt.init(params),

@@ -68,10 +68,15 @@ def main(argv=None):
         jax.config.update("jax_disable_jit", True)
         jax.config.update("jax_debug_nans", True)
 
+    import os as _os
     model_cfg = QuerySATConfig(
         feature_maps=cfg.feature_maps, query_maps=cfg.query_maps,
         train_rounds=cfg.train_rounds, test_rounds=cfg.test_rounds,
-        logit_maps=cfg.logit_maps)
+        logit_maps=cfg.logit_maps,
+        # block-level bf16 on the dense path: measured 2.3x step speedup
+        # (BENCH_BLOCKBF16_r03); opt-in while convergence parity is being
+        # established (the flat eval/predict path stays f32 regardless)
+        block_bf16=_os.environ.get("DSAT_BLOCK_BF16", "0") == "1")
 
     lr = cosine_decay_schedule(cfg.initial_learning_rate, cfg.train_steps,
                                cfg.cosine_alpha) if cfg.use_cosine_decay \
