@@ -30,9 +30,15 @@ import jax
 import jax.numpy as jnp
 
 
-def time_step(step, state, batch, cycles=6):
-    state2, out = step(state, batch)       # compile + warm
-    float(out["loss"])
+def time_step(step, state, batch, cycles=6, warm=2):
+    # NB tunnel quirk: the FIRST few dispatches of a freshly-compiled
+    # executable run slow (server-side warmup beyond compile), so warm
+    # with >=2 synced calls; callers additionally re-time in a second
+    # pass once every shape is compiled and keep the min.
+    s = state
+    for _ in range(warm):
+        s, out = step(s, batch)
+        float(out["loss"])
     t0 = time.perf_counter()
     s = state
     for _ in range(cycles):
@@ -105,6 +111,23 @@ def main(argv=None):
             rec["dense_note"] = str(e)[:80]
         print(rec, flush=True)
         per_batch.append(rec)
+
+    # second timed pass: every executable is now compiled AND warmed, so
+    # these readings are steady-state; keep the min of the two passes
+    # (the tunnel occasionally stalls a pass, never speeds one up).
+    for rec, (batch, edges) in zip(per_batch, packed):
+        b_dev = jax.device_put(batch, dev) if on_tpu else batch
+        rec["flat_ms"] = min(rec["flat_ms"], round(
+            time_step(flat_step, state, b_dev, args.cycles, warm=1) * 1e3, 2))
+        if rec.get("dense_ms") is not None:
+            (dense,) = densify_batches_quantized([batch])
+            d_dev = jax.device_put(dense, dev) if on_tpu else dense
+            rec["dense_ms"] = min(rec["dense_ms"], round(
+                time_step(dense_step, state, d_dev, args.cycles, warm=1)
+                * 1e3, 2))
+            rec["winner"] = ("dense" if rec["dense_ms"] < rec["flat_ms"]
+                             else "flat")
+        print({"pass2": rec}, flush=True)
 
     # hybrid aggregate: best path per batch (what auto dispatch delivers)
     rounds = cfg.train_rounds
