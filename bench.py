@@ -82,11 +82,11 @@ def main():
     n_batches = 6
     packed = threshold_3sat_batches_sorted(rng, 20_000, n_batches)
 
-    # full-size: 128 feature/query maps, 32 rounds. DSAT_BLOCK_BF16=1
-    # benches the block-level bf16 path (2.3x on the mixed batch,
-    # BENCH_BLOCKBF16_r03.json)
+    # full-size: 128 feature/query maps, 32 rounds. Block-level bf16 is
+    # the default (2.34x on the mixed batch, BENCH_BLOCKBF16_r03.json, at
+    # matched 3000-step convergence); DSAT_BLOCK_BF16=0 benches f32.
     cfg = QuerySATConfig(
-        block_bf16=os.environ.get("DSAT_BLOCK_BF16", "0") == "1")
+        block_bf16=os.environ.get("DSAT_BLOCK_BF16", "1") == "1")
     params = query_sat_init(jax.random.key(0), cfg)
     opt = adabelief(learning_rate=1e-3)
     state = TrainState(params=params, opt_state=opt.init(params),
@@ -187,8 +187,11 @@ def main():
         flops_per_step = macs * 2 * rounds * 3  # fwd + ~2x bwd
         out["matmul_tflops_per_step"] = round(flops_per_step / 1e12, 3)
         out["sustained_tflops"] = round(flops_per_step / dt / 1e12, 2)
-        out["pct_f32_matmul_peak"] = round(
-            100 * flops_per_step / dt / 49e12, 1)
+        # v5e matmul peaks: ~49 TFLOP/s f32, ~197 TFLOP/s bf16
+        peak = 197e12 if cfg.block_bf16 else 49e12
+        out["matmul_peak_basis"] = "bf16" if cfg.block_bf16 else "f32"
+        out["pct_matmul_peak"] = round(
+            100 * flops_per_step / dt / peak, 1)
     print(json.dumps(out))
 
 

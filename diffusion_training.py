@@ -73,10 +73,12 @@ def main(argv=None):
         feature_maps=cfg.feature_maps, query_maps=cfg.query_maps,
         train_rounds=cfg.train_rounds, test_rounds=cfg.test_rounds,
         logit_maps=cfg.logit_maps,
-        # block-level bf16 on the dense path: measured 2.3x step speedup
-        # (BENCH_BLOCKBF16_r03); opt-in while convergence parity is being
-        # established (the flat eval/predict path stays f32 regardless)
-        block_bf16=_os.environ.get("DSAT_BLOCK_BF16", "0") == "1")
+        # block-level bf16 on the dense path: 2.34x step speedup
+        # (BENCH_BLOCKBF16_r03) at matched convergence (3000-step paired
+        # sanity, runs_sanity/*bf16ctl*: loss curves statistically
+        # identical). Default ON; DSAT_BLOCK_BF16=0 reverts to f32.
+        # The flat eval/predict path stays f32 regardless.
+        block_bf16=_os.environ.get("DSAT_BLOCK_BF16", "1") == "1")
 
     lr = cosine_decay_schedule(cfg.initial_learning_rate, cfg.train_steps,
                                cfg.cosine_alpha) if cfg.use_cosine_decay \

@@ -42,7 +42,10 @@ sleep 15
 echo "=== build k64 multi-label cache (CPU, jax-free) ($(date -u)) ==="
 timeout 2400 env DSAT_FORCE_CPU=1 python build_3sat_cache.py --label_samples 64
 echo "=== train ML k64 bank, 8k steps (same schedule as k16 pilot) ($(date -u)) ==="
-timeout 2400 python diffusion_training.py --train_steps 8000 \
+# DSAT_BLOCK_BF16=0: the k16 pilot this ablates against trained f32;
+# keep the only changed variable the bank size.
+timeout 2400 env DSAT_BLOCK_BF16=0 python diffusion_training.py \
+  --train_steps 8000 \
   --label_samples 64 --label ml8k_k64 --train_dir runs_ml \
   --eval_every 4000 --ckpt_every 4000
 sleep 15
