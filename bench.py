@@ -111,10 +111,15 @@ def main():
         edge_counts = [real_edges]
 
     # warmup / compile each shape; NB fetch a value to the host — through
-    # the axon tunnel block_until_ready alone does not wait for execution
-    for b in bench_batches:
-        state, out = train_step(state, b)
-    float(out["loss"])
+    # the axon tunnel block_until_ready alone does not wait for execution.
+    # Two warm passes: the tunnel runs the FIRST dispatches of a freshly
+    # compiled executable slow (server-side warmup beyond compile), which
+    # contaminated single-warm readings (BENCH_BF16_r03 45.75 ms vs the
+    # 2-warm steady state).
+    for _ in range(2):
+        for b in bench_batches:
+            state, out = train_step(state, b)
+        float(out["loss"])
 
     # steady-state pipelined throughput over the batch stream: steps chain
     # through the state dependency; one host sync at the end covers the

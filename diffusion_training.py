@@ -72,7 +72,7 @@ def main(argv=None):
     model_cfg = QuerySATConfig(
         feature_maps=cfg.feature_maps, query_maps=cfg.query_maps,
         train_rounds=cfg.train_rounds, test_rounds=cfg.test_rounds,
-        logit_maps=cfg.logit_maps,
+        logit_maps=cfg.logit_maps, noise_skew=cfg.noise_skew,
         # block-level bf16 on the dense path: 2.34x step speedup
         # (BENCH_BLOCKBF16_r03) at matched convergence (3000-step paired
         # sanity, runs_sanity/*bf16ctl*: loss curves statistically

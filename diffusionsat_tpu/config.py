@@ -67,6 +67,9 @@ class RunConfig:
     feature_maps: int = 128
     query_maps: int = 128
     logit_maps: int = 8
+    # training noise-level distribution: noise = U**(1/noise_skew); >1
+    # skews draws toward high noise (see QuerySATConfig.noise_skew)
+    noise_skew: float = 1.0
 
     # execution layout: dense per-graph blocks (graph/dense_batch.py) when
     # every graph fits the block dims — the MXU fast path for small-graph

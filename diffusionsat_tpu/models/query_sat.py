@@ -91,6 +91,15 @@ class QuerySATConfig:
     # run is deterministic given explicit noise inputs — used by the
     # flat-vs-dense equivalence tests and for NaN bisection
     debug_zero_noise: bool = False
+    # training-time noise-level distribution: noise_scale = U**(1/skew).
+    # skew=1.0 is the reference's uniform draw (model/query_sat.py:200
+    # here, reference diffusion_training.py noise sampling); skew>1 skews
+    # the density toward HIGH noise (pdf s*t^(s-1)) — the regime where the
+    # reverse chain selects among solution modes and where the
+    # multi-label posterior analysis (STATUS.md, hypothesis c) found the
+    # KL's mode-balance signal weakest. Eval/sampling are unaffected
+    # (they pass explicit noise_scale).
+    noise_skew: float = 1.0
     # emit per-round in-model statistics (query/grad/state magnitudes,
     # per-round loss) through aux["round_stats"] — the analog of the
     # reference's in-graph tf.summary diagnostics
@@ -198,6 +207,8 @@ def query_sat_apply(params: dict, cfg: QuerySATConfig, batch: SatBatch,
     k_noise, k_labels, k_input, key_loop = jax.random.split(key, 4)
     if noise_scale is None:
         noise_scale = jax.random.uniform(k_noise, ())
+        if cfg.noise_skew != 1.0:
+            noise_scale = jnp.power(noise_scale, 1.0 / cfg.noise_skew)
     if labels is None:
         labels = jax.random.randint(k_labels, (V,), 0, 2, dtype=jnp.int32)
 

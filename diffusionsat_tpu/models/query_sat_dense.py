@@ -75,6 +75,8 @@ def query_sat_dense_apply(params: dict, cfg: QuerySATConfig,
     k_noise, k_labels, k_input, key_loop = jax.random.split(key, 4)
     if noise_scale is None:
         noise_scale = jax.random.uniform(k_noise, ())
+        if cfg.noise_skew != 1.0:  # skew the draw toward high noise
+            noise_scale = jnp.power(noise_scale, 1.0 / cfg.noise_skew)
     if labels is None:
         labels = jax.random.randint(k_labels, (G, Vg), 0, 2, dtype=jnp.int32)
 

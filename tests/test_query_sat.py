@@ -87,3 +87,28 @@ def test_jit_compiles_once_per_bucket():
     l2 = fn(params, batch2, jax.random.key(2))
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert fn._cache_size() == 1
+
+
+def test_noise_skew_shifts_training_noise_distribution():
+    """noise_skew>1 skews internal noise draws toward high noise: with the
+    same key, the skewed config's drawn noise_scale is u**(1/s) >= u, so
+    the two configs produce different (finite) losses, and the transform
+    itself has the intended distribution."""
+    import dataclasses
+
+    batch = tiny_batch()
+    params = query_sat_init(jax.random.key(0), CFG)
+    cfg_skew = dataclasses.replace(CFG, noise_skew=3.0)
+    _, loss_base, _, _ = query_sat_apply(
+        params, CFG, batch, jax.random.key(1), training=True,
+        labels=batch.solutions)
+    _, loss_skew, _, _ = query_sat_apply(
+        params, cfg_skew, batch, jax.random.key(1), training=True,
+        labels=batch.solutions)
+    assert np.isfinite(float(loss_base)) and np.isfinite(float(loss_skew))
+    assert float(loss_base) != float(loss_skew)
+    # distribution property of the transform: mean of u**(1/3) is 3/4
+    u = jax.random.uniform(jax.random.key(2), (20000,))
+    skewed = jnp.power(u, 1.0 / 3.0)
+    assert abs(float(jnp.mean(skewed)) - 0.75) < 0.01
+    assert float(jnp.mean(skewed > 0.8)) > float(jnp.mean(u > 0.8))

@@ -198,6 +198,27 @@ def main(argv=None):
                         diffusion_steps=args.diffusion_steps,
                         test_rounds=args.test_rounds, seed=7 + fi,
                         freeze_sat=False), seed=27 + fi)))
+            if selected is not None:
+                # parameterized temperature variants: the reverse kernel
+                # factorizes per variable per step, so its per-step
+                # commitments can be mis-calibrated even when the learned
+                # marginals are right; `diffusion_nofreeze_t<T>` rescales
+                # the denoiser logits by 1/T inside every reverse step
+                # (sampler.py temperature), `diffusion_sample_t<T>` adds
+                # the Bernoulli terminal draw (final_sample) on top.
+                import re as _re
+                for tok in sorted(selected):
+                    m = _re.fullmatch(
+                        r"diffusion_(nofreeze|sample)_t([0-9.]+)", tok)
+                    if not m:
+                        continue
+                    samplers.append((tok, DiffusionSampler(
+                        diffusion_params, cfg, cnf,
+                        diffusion_steps=args.diffusion_steps,
+                        test_rounds=args.test_rounds, seed=9 + fi,
+                        freeze_sat=False,
+                        final_sample=m.group(1) == "sample",
+                        temperature=float(m.group(2)))))
             if selected is not None and "diffusion_latefreeze_mh" in selected:
                 samplers.append(("diffusion_latefreeze_mh", MetropolisRefiner(
                     cnf, DiffusionSampler(
