@@ -137,14 +137,19 @@ def main(argv=None):
                 "default": jax.lax.Precision.DEFAULT,
             }[cfg.incidence_precision]
             # hybrid dispatch: densify only the batches that fit the
-            # block tables AND are below the measured dense/flat
-            # crossover (dense block area grows ~quadratically with graph
-            # size while edges grow linearly — BENCH_REF_REGIME); the
-            # rest run the flat edge-list step. DSAT_DENSE_MAX_VARS=0
+            # block tables AND are below the dense/flat crossover.
+            # MEASURED (BENCH_REF_REGIME, two-pass steady-state timing):
+            # dense wins at EVERY size up to the 30-100-var reference
+            # regime — 42-58 ms vs flat's ~198 ms (4.3-5.7x) even at ~1%
+            # incidence fill, because batched MXU matmuls beat the
+            # gather/segment fabric regardless of padding. Default cutoff
+            # = the block-table capacity (128 vars); beyond the table the
+            # O(Vg*Cg) incidence blocks genuinely blow up (SHA-1 CNFs)
+            # and the flat path takes over. DSAT_DENSE_MAX_VARS=0
             # disables the size cutoff (table capacity still applies).
             import os as _os
             dense_max_vars = int(_os.environ.get("DSAT_DENSE_MAX_VARS",
-                                                 "48"))
+                                                 "128"))
             dense_batches, flat_rest = [], []
             for b in train_data.batches:
                 maxv = int(np.max(np.asarray(b.n_vars_per_graph),
