@@ -163,6 +163,18 @@ def main(argv=None):
                     flat_rest.append(b)
             if not dense_batches:
                 raise ValueError("no batch fits the dense block tables")
+            # over-cutoff batches run the flat step; give them the same
+            # Pallas-planned SpMM the dedicated flat path uses. Plans are
+            # host-built from the numpy batches BEFORE device placement
+            # (building from device-resident arrays would round-trip the
+            # tunnel); index order is preserved across device_put below.
+            flat_plans = None
+            if flat_rest and jax.default_backend() == "tpu":
+                from diffusionsat_tpu.ops.pallas_segsum import (
+                    build_batch_plans)
+                plans = [build_batch_plans(b) for b in flat_rest]
+                if all(p is not None for p in plans):
+                    flat_plans = plans
             # pre-place every training batch on the device ONCE: repeated
             # per-step host->device uploads through the axon tunnel leak
             # host memory (~4 MB/step — the 167k flagship run was
@@ -198,7 +210,17 @@ def main(argv=None):
                 if flat_rest:
                     from diffusionsat_tpu.graph.dense_batch import (
                         DenseSatBatch)
-                    flat_step = make_train_step(model_cfg, optimizer)
+                    if flat_plans is not None:
+                        planned = make_planned_train_step(model_cfg,
+                                                          optimizer)
+                        plan_by_id = {id(b): p for b, p in
+                                      zip(flat_rest, flat_plans)}
+
+                        def flat_step(state, batch):
+                            return planned(state, batch,
+                                           plan_by_id[id(batch)])
+                    else:
+                        flat_step = make_train_step(model_cfg, optimizer)
 
                     def train_step(state, batch):
                         if isinstance(batch, DenseSatBatch):
@@ -259,12 +281,6 @@ def main(argv=None):
         # replicate the train state across the mesh (it was placed on
         # device 0 above for the single-device path)
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-        dp_apply = diag_apply if diag_apply is not None else None
-        if dp_apply is not None:
-            train_step = make_dp_train_step(model_cfg, optimizer, mesh,
-                                            apply_fn=dp_apply)
-        else:
-            train_step = make_dp_train_step(model_cfg, optimizer, mesh)
         # DP stacks batches along a device axis: all stacked pytrees must
         # share a structure, so a hybrid dense+flat stream degrades to
         # its majority layout here
@@ -278,6 +294,17 @@ def main(argv=None):
                           if type(b).__name__ == majority]
             print(f"WARNING: hybrid stream under DP; keeping only the "
                   f"{majority} batches ({len(dp_batches)})", flush=True)
+        # the DP apply_fn must follow the surviving batches' layout: a
+        # hybrid stream that degraded to its flat majority must not be
+        # traced through the dense apply (SatBatch has no .incidence)
+        dp_apply = (diag_apply
+                    if type(dp_batches[0]).__name__ == "DenseSatBatch"
+                    else None)
+        if dp_apply is not None:
+            train_step = make_dp_train_step(model_cfg, optimizer, mesh,
+                                            apply_fn=dp_apply)
+        else:
+            train_step = make_dp_train_step(model_cfg, optimizer, mesh)
         data_stream = stacked_stream(dp_batches, cfg.n_devices,
                                      seed=cfg.seed)
         print(f"data-parallel over {cfg.n_devices} devices", flush=True)
