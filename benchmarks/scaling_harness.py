@@ -8,7 +8,15 @@ numbers are a correctness + overhead proxy (collective insertion, sharding
 layouts, program structure), not ICI bandwidth measurements; the same
 code paths run unchanged on a real TPU slice.
 
-    python benchmarks/scaling_harness.py [--out SCALING.json]
+    python benchmarks/scaling_harness.py [--out SCALING_VDEV.json]
+
+NB the repo-root SCALING.json is a deprecation stub (round 4): the
+virtual-mesh "efficiency_vs_shared_core_bound" numbers measure host core
+contention, not chip or interconnect behavior, and were repeatedly
+misread as multi-chip efficiency. Projected multi-chip efficiency lives
+in SCALING_ROOFLINE.json (benchmarks/scaling_roofline.py); this harness
+remains useful only as a functional overhead/correctness proxy and now
+writes to SCALING_VDEV.json by default to keep the stub intact.
 
 DP is weak scaling (one packed batch per device). NB on a virtual CPU
 mesh all "devices" share one host's cores, so the ideal weak-scaling step
@@ -67,7 +75,7 @@ def time_steps(step, state, batch, iters=12):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--out", default="SCALING_VDEV.json")
     ap.add_argument("--budget", type=int, default=2000)
     ap.add_argument("--rounds", type=int, default=8)
     args = ap.parse_args()
