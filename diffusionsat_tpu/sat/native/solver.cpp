@@ -20,6 +20,7 @@
 #include <vector>
 #include <algorithm>
 #include <cmath>
+#include <limits>
 
 namespace {
 
@@ -738,6 +739,62 @@ long long dsat_tsp_subtours(int batch, int padded, const float* preds,
     }
   }
   return written;
+}
+
+// Exact TSP via Held-Karp bitmask DP with parent reconstruction.
+// dist: [n, n] float32 row-major symmetric. out_tour: n ints (a permutation
+// starting at 0). Returns the optimal tour length, or -1.0 on bad input.
+// O(2^n * n^2) time, 2^(n-1)*(n-1)*(4+1) bytes: n=20 -> ~50 MB, ~0.5 s.
+// Replaces the Python DP (tsp/data.py) that capped exact labels at n<=13;
+// the reference labels its Euclidean TSP data Concorde-optimally at all
+// sizes (reference data/tsp.py:6) — this closes the gap through n~20.
+double dsat_tsp_held_karp(int n, const float* dist, int* out_tour) {
+  if (n < 2 || n > 24 || !dist || !out_tour) return -1.0;
+  if (n == 2) {
+    out_tour[0] = 0; out_tour[1] = 1;
+    return (double)dist[1] + dist[2 * 1];  // 0->1->0
+  }
+  const int m = n - 1;                  // nodes 1..n-1; node 0 is the start
+  const size_t full = (size_t)1 << m;
+  std::vector<float> dp(full * m, std::numeric_limits<float>::infinity());
+  std::vector<uint8_t> parent(full * m, 255);
+  for (int j = 0; j < m; j++)
+    dp[((size_t)1 << j) * m + j] = dist[0 * n + (j + 1)];
+  for (size_t mask = 1; mask < full; mask++) {
+    for (int j = 0; j < m; j++) {
+      if (!(mask & ((size_t)1 << j))) continue;
+      float cur = dp[mask * m + j];
+      if (!std::isfinite(cur)) continue;
+      for (int k = 0; k < m; k++) {
+        if (mask & ((size_t)1 << k)) continue;
+        size_t nmask = mask | ((size_t)1 << k);
+        float cand = cur + dist[(j + 1) * n + (k + 1)];
+        if (cand < dp[nmask * m + k]) {
+          dp[nmask * m + k] = cand;
+          parent[nmask * m + k] = (uint8_t)j;
+        }
+      }
+    }
+  }
+  double best = std::numeric_limits<double>::infinity();
+  int best_j = -1;
+  for (int j = 0; j < m; j++) {
+    double cand = (double)dp[(full - 1) * m + j] + dist[(j + 1) * n + 0];
+    if (cand < best) { best = cand; best_j = j; }
+  }
+  // reconstruct: walk parents back from best_j over the full mask
+  std::vector<int> rev;
+  size_t mask = full - 1;
+  int j = best_j;
+  while (j >= 0 && rev.size() <= (size_t)m) {
+    rev.push_back(j + 1);
+    uint8_t p = parent[mask * m + j];
+    mask &= ~((size_t)1 << j);
+    j = (p == 255) ? -1 : (int)p;
+  }
+  out_tour[0] = 0;
+  for (int i = 0; i < m; i++) out_tour[1 + i] = rev[m - 1 - i];
+  return best;
 }
 
 }  // extern "C"

@@ -2,10 +2,13 @@
 
 Replaces reference `data/tsp.py` (Concorde-labeled Euclidean TSP; the
 pyconcorde dependency is unavailable) and `data/asymmetric_tsp_gen.py`
-(brute force). Optimal tours come from exact Held–Karp DP for n <= 15 and
-nearest-neighbor + 2-opt refinement beyond; labels mark tour edges 1 (in
-both directions with 0.5 each for the Euclidean case the reference uses
-1/0 matrices — we emit 1 for both directions of a tour edge).
+(brute force). Optimal tours come from exact Held–Karp DP — the native
+C++ bitmask DP (sat/native/solver.cpp dsat_tsp_held_karp) up to n <= 20,
+the Python DP as fallback for n <= 13 — and nearest-neighbor + 2-opt
+refinement beyond; labels mark tour edges 1 (in both directions with 0.5
+each for the Euclidean case the reference uses 1/0 matrices — we emit 1
+for both directions of a tour edge). The reference's default TSP regime
+(16-node graphs, reference data/tsp.py) is therefore exactly labeled.
 """
 
 from __future__ import annotations
@@ -50,6 +53,47 @@ def held_karp(dist: np.ndarray) -> list[int]:
         mask ^= 1 << last
         last = int(nlast)
     return tour[::-1]
+
+
+def native_held_karp(dist: np.ndarray) -> list[int] | None:
+    """Exact tour via the native C++ bitmask DP (solver.cpp
+    dsat_tsp_held_karp); None if the library is unavailable."""
+    import ctypes
+
+    try:
+        from diffusionsat_tpu.sat.solvers import _NativeLib
+        lib = _NativeLib.get()
+    except Exception:
+        return None
+    if not hasattr(lib, "_hk_ready"):
+        lib.dsat_tsp_held_karp.restype = ctypes.c_double
+        lib.dsat_tsp_held_karp.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int)]
+        lib._hk_ready = True
+    n = len(dist)
+    d = np.ascontiguousarray(dist, dtype=np.float32)
+    tour = np.zeros(n, dtype=np.int32)
+    length = lib.dsat_tsp_held_karp(
+        n, d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tour.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if length < 0:
+        return None
+    return [int(x) for x in tour]
+
+
+def optimal_tour(dist: np.ndarray, seed: int = 0,
+                 exact_max_n: int = 20) -> list[int]:
+    """Best-available tour: native exact DP to `exact_max_n`, Python DP
+    fallback to 13, 2-opt beyond."""
+    n = len(dist)
+    if n <= exact_max_n:
+        tour = native_held_karp(dist)
+        if tour is not None:
+            return tour
+        if n <= 13:
+            return held_karp(dist)
+    return two_opt_tour(dist, seed)
 
 
 def two_opt_tour(dist: np.ndarray, seed: int = 0) -> list[int]:
@@ -115,7 +159,7 @@ class EuclideanTSP:
         coords = rng.random((n, 2)).astype(np.float32)
         dist = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2
                         ).sum(-1)).astype(np.float32)
-        tour = held_karp(dist) if n <= 13 else two_opt_tour(dist, seed)
+        tour = optimal_tour(dist, seed)
         p = self.padded_size
         adj = np.full((p, p), PADDING_VALUE, dtype=np.float32)
         adj[:n, :n] = dist
@@ -163,7 +207,7 @@ class AsymmetricTSP(EuclideanTSP):
         n = int(rng.integers(self.min_node_count, self.max_node_count + 1))
         dist = rng.random((n, n)).astype(np.float32)
         np.fill_diagonal(dist, 0.0)
-        tour = held_karp(dist) if n <= 13 else two_opt_tour(dist, seed)
+        tour = optimal_tour(dist, seed)
         p = self.padded_size
         adj = np.full((p, p), PADDING_VALUE, dtype=np.float32)
         adj[:n, :n] = dist
