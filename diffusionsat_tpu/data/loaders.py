@@ -87,11 +87,14 @@ class SplotInstances(SatInstances):
 
 
 class SatLibInstances(SatInstances):
-    """.cnf files from a directory (reference data/satlib.py:15-72)."""
+    """.cnf files from a directory (reference data/satlib.py:15-72).
+    With no `data_dir`, bundled uf20-91-style instances under
+    data/assets/satlib (synthetic SATLIB-format, SAT by construction)."""
 
-    def __init__(self, data_dir: str | Path, test_fraction: float = 0.1,
-                 seed: int = 0):
-        self.data_dir = Path(data_dir)
+    def __init__(self, data_dir: str | Path | None = None,
+                 test_fraction: float = 0.1, seed: int = 0, **_ignored):
+        self.data_dir = Path(data_dir) if data_dir \
+            else ASSETS_DIR / "satlib"
         self.test_fraction = test_fraction
         self.seed = seed
 

@@ -73,6 +73,31 @@ def main():
         (primes_dir / f"{name}.cnf").write_text("\n".join(lines) + "\n")
         print(f"wrote primes/{name}.cnf ({n_vars} vars)")
 
+    # satlib: uf20-91-style satisfiable uniform random 3-SAT (SATLIB's
+    # classic smallest class: 20 vars, 91 clauses, ratio 4.55), generated
+    # around a hidden assignment so each file is SAT by construction
+    satlib_dir = ASSETS / "satlib"
+    satlib_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(10):
+        rng = random.Random(2000 + i)
+        n, m = 20, 91
+        hidden = [rng.random() < 0.5 for _ in range(n)]
+        lines = [f"p cnf {n} {m}"]
+        for _ in range(m):
+            vs = rng.sample(range(1, n + 1), 3)
+            sat_pos = rng.randrange(3)
+            lits = []
+            for j, v in enumerate(vs):
+                if j == sat_pos:
+                    neg = not hidden[v - 1]
+                else:
+                    neg = rng.random() < 0.5
+                lits.append(-v if neg else v)
+            lines.append(" ".join(map(str, lits)) + " 0")
+        (satlib_dir / f"uf20-synth-{i + 1}.cnf").write_text(
+            "\n".join(lines) + "\n")
+        print(f"wrote satlib/uf20-synth-{i + 1}.cnf")
+
 
 if __name__ == "__main__":
     main()

@@ -84,7 +84,7 @@ def test_mixed_default_composition():
     assert all(len(c) > 0 for _, c, _ in items)
 
 
-@pytest.mark.parametrize("task", ["splot", "primes", "mixed"])
+@pytest.mark.parametrize("task", ["splot", "primes", "mixed", "satlib"])
 def test_registry_task_end_to_end_train_step(task, tmp_path):
     """`main.py --task <task>` semantics: resolve from the registry,
     label via DiffusionSatInstances, pack, run one jitted train step."""
@@ -122,7 +122,17 @@ def test_registry_task_end_to_end_train_step(task, tmp_path):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_bundled_satlib_assets_load():
+    from diffusionsat_tpu.data.loaders import SatLibInstances
+
+    inst = SatLibInstances()
+    items = list(inst.train_generator()) + list(inst.test_generator())
+    assert len(items) == 10
+    assert all(n == 20 and len(c) == 91 for n, c, _ in items)
+
+
 def test_assets_committed():
     assert (ASSETS_DIR / "splot").is_dir()
     assert len(list((ASSETS_DIR / "splot").glob("*.xml"))) == 10
     assert len(list((ASSETS_DIR / "primes").glob("*.cnf"))) == 12
+    assert len(list((ASSETS_DIR / "satlib").glob("*.cnf"))) == 10
