@@ -103,7 +103,14 @@ def main():
     # DSAT_BENCH_NODES=60000 benches that budget with the same protocol.
     node_budget = int(os.environ.get("DSAT_BENCH_NODES", "20000"))
     n_batches = 6
-    packed = threshold_3sat_batches_sorted(rng, node_budget, n_batches)
+    # scale the graph cap with the budget: at 60k nodes the historical
+    # 512-graph cap binds for small-var size-sorted batches (a 8-var
+    # graph is ~51 nodes -> ~1200 graphs fill the budget), silently
+    # under-packing the workload the bench claims to measure
+    max_graphs = int(os.environ.get("DSAT_BENCH_MAXGRAPHS",
+                                    str(max(512, node_budget // 40))))
+    packed = threshold_3sat_batches_sorted(rng, node_budget, n_batches,
+                                           max_graphs=max_graphs)
 
     # full-size: 128 feature/query maps, 32 rounds. Block-level bf16 is
     # the default (2.34x on the mixed batch, BENCH_BLOCKBF16_r03.json, at
@@ -127,7 +134,8 @@ def main():
         edge_counts = [e for _, e in packed]
     except ValueError:
         variant = "flat"
-        bucket = BucketSpec.for_node_budget(node_budget, max_graphs=512)
+        bucket = BucketSpec.for_node_budget(node_budget,
+                                            max_graphs=max_graphs)
         batch, real_edges = threshold_3sat_batch(rng, node_budget,
                                                  bucket=bucket)
         train_step = make_train_step(cfg, opt)
