@@ -95,10 +95,26 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sampler", default="tpe", choices=["tpe", "random"])
     p.add_argument("--out", default="hyperopt_results.jsonl")
+    p.add_argument("--resume_from", default=None,
+                   help="existing results JSONL: completed trials are fed "
+                        "to the sampler as observations and trial "
+                        "numbering continues after them (lets a "
+                        "deadline-cut study be topped up to full size)")
     args = p.parse_args(argv)
 
     sampler = TPESampler(SPACE, seed=args.seed) if args.sampler == "tpe" \
         else RandomSampler(SPACE, seed=args.seed)
+    start_trial = 0
+    if args.resume_from and Path(args.resume_from).exists():
+        with open(args.resume_from) as f:
+            for line in f:
+                rec = json.loads(line)
+                hp = {k: rec[k] for k in SPACE if k in rec}
+                if len(hp) == len(SPACE) and "accuracy" in rec:
+                    sampler.observe(hp, rec["accuracy"])
+                    start_trial = max(start_trial, rec.get("trial", 0) + 1)
+        print(f"resumed {start_trial} completed trials from "
+              f"{args.resume_from}", flush=True)
     inst = DiffusionSatInstances(
         SAT3Instances(min_vars=args.min_vars, max_vars=args.max_vars,
                       train_size=args.train_size, test_size=500,
@@ -108,7 +124,7 @@ def main(argv=None):
                          BucketSpec.for_node_budget(args.max_nodes_per_batch),
                          name=f"hyperopt_{args.min_vars}_{args.max_vars}")
 
-    for trial in range(args.trials):
+    for trial in range(start_trial, args.trials):
         hp = sampler.suggest()
         acc = run_trial(hp, dataset, args.steps_per_trial, seed=trial)
         sampler.observe(hp, acc)
