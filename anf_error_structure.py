@@ -212,6 +212,13 @@ def main(argv=None):
     p.add_argument("--anchor_release", default="0,2,4,8,all",
                    help="ladder of how many least-confident inputs to "
                         "release in the input-anchor phase")
+    p.add_argument("--anchor_budget", type=int, default=100_000,
+                   help="CDCL conflict budget per input-anchor attempt "
+                        "(the 'all' rung is a solve-from-scratch; keep "
+                        "bounded)")
+    p.add_argument("--deadline_s", type=float, default=0,
+                   help="stop taking new batches after this many seconds "
+                        "(partial summary still written)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -326,7 +333,7 @@ def main(argv=None):
                     try:
                         sat, model = solve(
                             clauses, ncnf,
-                            conflict_budget=args.conflict_budget)
+                            conflict_budget=args.anchor_budget)
                     except TimeoutError:
                         continue
                     if not sat:
@@ -382,7 +389,29 @@ def main(argv=None):
         print(f"[batch {bi}] systems so far {n_sys}, "
               f"solved@max_frac {solved_at[fracs[-1]]} "
               f"({time.time() - t_start:.0f}s)", flush=True)
+        if args.out:  # incremental partial write: a timeout loses nothing
+            with open(args.out, "w") as f:
+                json.dump({"summary": _summarize(args, systems, solved_at,
+                                                 fracs, n_sys, t_start,
+                                                 partial=True),
+                           "systems": systems}, f)
+        if args.deadline_s and time.time() - t_start > args.deadline_s:
+            print(f"deadline_s reached after batch {bi}; stopping",
+                  flush=True)
+            break
 
+    summary = _summarize(args, systems, solved_at, fracs, n_sys, t_start)
+    print(json.dumps(summary, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "systems": systems}, f)
+    return summary
+
+
+def _summarize(args, systems, solved_at, fracs, n_sys, t_start,
+               partial=False):
+    if not systems:
+        return {"ckpt": args.ckpt, "n_systems": 0, "partial": partial}
     n = max(n_sys, 1)
     wrongs = np.array([r["n_wrong"] for r in systems])
     covers = np.array([r["confidence_cover_frac"] for r in systems])
@@ -431,10 +460,8 @@ def main(argv=None):
             1.0 - float(wf.sum()) / float(nf.sum()), 4)
         summary["systems_with_all_inputs_right"] = round(
             float((wf == 0).mean()), 4)
-    print(json.dumps(summary, indent=1))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump({"summary": summary, "systems": systems}, f)
+    if partial:
+        summary["partial"] = True
     return summary
 
 
