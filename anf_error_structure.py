@@ -36,151 +36,11 @@ import numpy as np
 import jax
 
 
-def extract_graph_equations(batch):
-    """Host-side equation lists per graph from an ANFBatch.
-
-    Returns {g: [(parity_const, [term, ...]), ...]} where each term is
-    ('v', var_idx) for a linear var (0-based global) or ('a', o1, o2)
-    for an AND of operands; operands are 0-based var indices or the
-    string 'one' folded into parity upstream. Equation semantics: XOR of
-    terms (+ parity_const) must equal 0 (graph/anf_batch.py:31-54,
-    losses/anf.py:140-156)."""
-    edge_node = np.asarray(batch.edge_node_c)
-    edge_clause = np.asarray(batch.edge_clause_c)
-    edge_mask = np.asarray(batch.edge_mask_c) > 0
-    and1 = np.asarray(batch.and1)
-    and2 = np.asarray(batch.and2)
-    clause_graph = np.asarray(batch.clause_graph)
-    graph_mask = np.asarray(batch.graph_mask) > 0
-    V = int(batch.var_mask.shape[0])
-
-    eqs_per_clause: dict[int, tuple[int, list]] = {}
-    order = np.argsort(edge_clause[edge_mask], kind="stable")
-    nodes = edge_node[edge_mask][order]
-    clauses = edge_clause[edge_mask][order]
-    # group members by clause
-    uniq, starts = np.unique(clauses, return_index=True)
-    for i, c in enumerate(uniq):
-        lo = starts[i]
-        hi = starts[i + 1] if i + 1 < len(uniq) else len(clauses)
-        parity = 0
-        terms = []
-        for nid in nodes[lo:hi]:
-            nid = int(nid)
-            if nid == 0:                      # const-one node: bit 1
-                parity ^= 1
-            elif nid <= V:                    # variable node
-                terms.append(("v", nid - 1))
-            else:                             # AND node
-                a = int(and1[nid - 1 - V])
-                b = int(and2[nid - 1 - V])
-                # operand 0 = const one (bit 1): AND(1, x) = x
-                if a == 0 and b == 0:
-                    parity ^= 1
-                elif a == 0:
-                    terms.append(("v", b - 1))
-                elif b == 0:
-                    terms.append(("v", a - 1))
-                else:
-                    terms.append(("a", a - 1, b - 1))
-        eqs_per_clause[int(c)] = (parity, terms)
-
-    out: dict[int, list] = {}
-    for g in np.where(graph_mask)[0]:
-        cs = np.where(clause_graph == g)[0]
-        out[int(g)] = [eqs_per_clause[int(c)] for c in cs
-                       if int(c) in eqs_per_clause]
-    return out
-
-
-def eval_equations(eqs, bits):
-    """Vector of 0/1 satisfaction per equation under full bit assignment."""
-    ok = []
-    for parity, terms in eqs:
-        v = parity
-        for t in terms:
-            if t[0] == "v":
-                v ^= int(bits[t[1]])
-            else:
-                v ^= int(bits[t[1]]) & int(bits[t[2]])
-        ok.append(1 - v)  # XOR must be 0
-    return np.array(ok, dtype=np.int8)
-
-
-def encode_residual_cnf(eqs, fixed_bits: dict[int, int],
-                        released: list[int]):
-    """CNF of the system with `fixed_bits` substituted; released vars map
-    to CNF ids 1..len(released). Returns (clauses, n_cnf_vars, var2cnf)
-    or None if a fully-substituted equation is already violated."""
-    var2cnf = {v: i + 1 for i, v in enumerate(released)}
-    n = len(released)
-    clauses: list[list[int]] = []
-    and_cache: dict[tuple[int, int], int] = {}
-
-    def and_aux(x: int, y: int) -> int:
-        nonlocal n
-        key = (min(x, y), max(x, y))
-        if key in and_cache:
-            return and_cache[key]
-        n += 1
-        t = n
-        clauses.append([-t, x])
-        clauses.append([-t, y])
-        clauses.append([t, -x, -y])
-        and_cache[key] = t
-        return t
-
-    def xor_gate(x: int, y: int) -> int:
-        nonlocal n
-        n += 1
-        z = n
-        clauses.append([-z, x, y])
-        clauses.append([-z, -x, -y])
-        clauses.append([z, x, -y])
-        clauses.append([z, -x, y])
-        return z
-
-    for parity, terms in eqs:
-        p = parity
-        lit_count: dict[int, int] = {}
-        for t in terms:
-            if t[0] == "v":
-                v = t[1]
-                if v in fixed_bits:
-                    p ^= fixed_bits[v]
-                else:
-                    c = var2cnf[v]
-                    lit_count[c] = lit_count.get(c, 0) + 1
-            else:
-                a, b = t[1], t[2]
-                fa, fb = fixed_bits.get(a), fixed_bits.get(b)
-                if fa is not None and fb is not None:
-                    p ^= fa & fb
-                elif fa is not None:
-                    if fa == 1:
-                        c = var2cnf[b]
-                        lit_count[c] = lit_count.get(c, 0) + 1
-                elif fb is not None:
-                    if fb == 1:
-                        c = var2cnf[a]
-                        lit_count[c] = lit_count.get(c, 0) + 1
-                else:
-                    c = and_aux(var2cnf[a], var2cnf[b])
-                    lit_count[c] = lit_count.get(c, 0) + 1
-        lits = [c for c, k in lit_count.items() if k % 2]
-        if not lits:
-            if p == 1:
-                return None  # fixed bits already violate this equation
-            continue
-        if len(lits) == 1:
-            clauses.append([lits[0] if p else -lits[0]])
-            continue
-        z = lits[0]
-        for li in lits[1:]:
-            z = xor_gate(z, li)
-        clauses.append([z] if p else [-z])
-    return clauses, n, var2cnf
-
+from diffusionsat_tpu.sat.anf_completion import (  # noqa: E402
+    encode_residual_cnf,
+    eval_equations,
+    extract_graph_equations,
+)
 
 def main(argv=None):
     p = argparse.ArgumentParser()

@@ -48,6 +48,13 @@ def main(argv=None):
                         "keep each system's first solving attempt "
                         "(reference model/query_sat.py:426-445 applied "
                         "to ANF via losses.anf.is_graph_sat_anf)")
+    p.add_argument("--cdcl_completion", action="store_true",
+                   help="input-anchored CDCL completion: fix the model's "
+                        "predicted free message bits (the circuit's <=20 "
+                        "degrees of freedom), release the least-confident "
+                        "ones on a 0/2/4/8 ladder, CDCL-propagate "
+                        "(sat/anf_completion.py; lifts systems-solved "
+                        "~34%->~59% on the r17 flagship)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -80,6 +87,41 @@ def main(argv=None):
                             prediction_tries=args.tries,
                             graph_sat_fn=is_graph_sat_anf)
     vals["tries"] = args.tries
+
+    if args.cdcl_completion:
+        import numpy as np
+
+        from diffusionsat_tpu.sat.anf_completion import (
+            extract_graph_equations, input_anchored_complete)
+
+        predict = jax.jit(lambda pr, b, k: anf_sat_apply(
+            pr, cfg, b, k, training=False)[0])
+        key = jax.random.key(9)
+        solved = total = 0
+        solved_at = {}
+        for batch in test_batches:
+            key, sub = jax.random.split(key)
+            logits = np.asarray(predict(params, batch, sub))
+            head = logits[:, 0]
+            pred = (head > 0).astype(np.int8)
+            conf = np.abs(head)
+            var_graph = np.asarray(batch.var_graph)
+            geqs = extract_graph_equations(batch)
+            for g in np.where(np.asarray(batch.graph_mask) > 0)[0]:
+                g = int(g)
+                vids = np.where(var_graph == g)[0]
+                if len(vids) == 0 or g not in geqs:
+                    continue
+                total += 1
+                ok, spec, _ = input_anchored_complete(
+                    geqs[g], vids, pred, conf)
+                if ok:
+                    solved += 1
+                    solved_at[spec] = solved_at.get(spec, 0) + 1
+        vals["completion_systems_solved"] = round(solved / max(total, 1), 4)
+        vals["completion_solved_at_release"] = {
+            str(k): v for k, v in sorted(solved_at.items())}
+
     print(f"[full testset] {vals}")
     if args.out:
         with open(args.out, "w") as f:

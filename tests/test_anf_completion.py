@@ -3,7 +3,12 @@ AND-aux Tseitin, XOR chains, and CDCL completion round-trip."""
 
 import numpy as np
 
-from anf_error_structure import encode_residual_cnf, eval_equations
+from diffusionsat_tpu.sat.anf_completion import (
+    encode_residual_cnf,
+    eval_equations,
+    free_inputs_of,
+    input_anchored_complete,
+)
 from diffusionsat_tpu.sat.solvers import enumerate_models, solve
 
 
@@ -65,6 +70,38 @@ def test_duplicate_terms_cancel():
     eqs = [(0, [("v", 0), ("v", 0), ("v", 1)])]
     got = cnf_models_projected(eqs, {}, [0, 1], 2)
     assert got == {(0, 0), (1, 0)}
+
+
+def test_free_input_identification_and_anchor():
+    # feed-forward circuit: inputs 0,1; gates 2..5 defined from earlier
+    rng = np.random.default_rng(11)
+    truth = rng.integers(0, 2, size=6).astype(np.int8)
+    eqs = []
+    for j in range(2, 6):
+        a, b = int(rng.integers(0, j)), int(rng.integers(0, j))
+        parity = int(truth[j] ^ truth[a] ^ (truth[a] & truth[b]))
+        eqs.append((parity, [("v", j), ("v", a), ("a", a, b)]))
+    # output constraints pin every gate to its truth value
+    for j in range(2, 6):
+        eqs.append((int(truth[j]), [("v", j)]))
+    vids = np.arange(6)
+    assert free_inputs_of(eqs, vids) == [0, 1]
+
+    # anchor with correct input predictions -> solved at release 0
+    conf = np.ones(6)
+    solved, spec, bits = input_anchored_complete(
+        eqs, vids, truth, conf, ladder=(0, 2))
+    assert solved and spec == 0
+    # anchor with BOTH inputs wrong but low-confidence -> release-2 rung
+    # must recover (it re-searches the inputs)
+    pred = truth.copy()
+    pred[0] ^= 1
+    pred[1] ^= 1
+    conf = np.ones(6)
+    conf[0] = conf[1] = 0.01
+    solved2, spec2, _ = input_anchored_complete(
+        eqs, vids, pred, conf, ladder=(0, 2))
+    assert solved2 and spec2 == 2
 
 
 def test_completion_round_trip_random_systems():
