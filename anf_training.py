@@ -60,6 +60,11 @@ def main(argv=None):
                         "state and step start fresh. An orbax checkpoint "
                         "found via --restore/run dir takes priority, so "
                         "watchdog restarts resume rather than re-warm")
+    p.add_argument("--free_input_upweight", type=float, default=1.0,
+                   help="CE weight multiplier on free message-bit input "
+                        "vars (the circuit's true degrees of freedom; "
+                        "round-4 finding: their ~76%% accuracy vs ~93%% "
+                        "overall bottlenecks input-anchored solving)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--label", default="")
     p.add_argument("--train_dir", default="runs_anf")
@@ -86,13 +91,22 @@ def main(argv=None):
     train_batches = ds.train_data()
     test_batches = ds.test_data()
     assert train_batches, "no instance fits the bucket — raise the limits"
+    if (args.free_input_upweight != 1.0
+            and train_batches[0].free_input_mask is None):
+        # cache predates the free_input_mask field; rebuild it once
+        print("cache lacks free_input_mask; rebuilding", flush=True)
+        ds.force_data_gen = True
+        train_batches = ds.train_data()
+        test_batches = ds.test_data()
+        ds.force_data_gen = False
     print(f"train batches: {len(train_batches)}, "
           f"test batches: {len(test_batches)}", flush=True)
 
     cfg = ANFSATConfig(feature_maps=args.feature_maps,
                        query_maps=args.feature_maps,
                        train_rounds=args.train_rounds,
-                       test_rounds=args.test_rounds)
+                       test_rounds=args.test_rounds,
+                       free_input_upweight=args.free_input_upweight)
     if args.cosine:
         from diffusionsat_tpu.train.adabelief import cosine_decay_schedule
         lr = cosine_decay_schedule(initial_lr=args.lr,

@@ -1,4 +1,5 @@
 """Build the ANF flagship dataset cache with zero jax backend contact."""
+import sys
 import time
 from diffusionsat_tpu.data.anf_datasets import AnfDataset
 from diffusionsat_tpu.data.sha_anf import Sha1AnfInstances
@@ -10,7 +11,8 @@ def main():
                             train_size=8000, test_size=256, seed=0)
     bucket = ANFBucket(max_vars=8192, max_ands=16384, max_clauses=8704,
                        max_edges=32768, max_graphs=8)
-    ds = AnfDataset(inst, bucket, name="sha1anf_r17_fb2_20_8000", seed=0)
+    ds = AnfDataset(inst, bucket, name="sha1anf_r17_fb2_20_8000", seed=0,
+                    force_data_gen="--force" in sys.argv)
     t0 = time.time()
     tr = ds.train_data()
     print(f"train batches: {len(tr)} in {time.time()-t0:.0f}s", flush=True)

@@ -78,7 +78,11 @@ class AnfDataset:
         fields = list(ANFBatch.__dataclass_fields__)
         if path.exists() and not self.force_data_gen:
             data = np.load(path)
-            return [ANFBatch(**{f: data[f"{i}/{f}"] for f in fields})
+            # caches written before a field existed load it as None
+            # (free_input_mask: consumers treat None as "no upweighting")
+            return [ANFBatch(**{f: (data[f"{i}/{f}"]
+                                    if f"{i}/{f}" in data else None)
+                               for f in fields})
                     for i in range(int(data["n"]))]
         gen = (self.instances.train_generator() if mode == "train"
                else self.instances.test_generator())
@@ -93,7 +97,9 @@ class AnfDataset:
         arrays = {}
         for i, b in enumerate(batches):
             for f in fields:
-                arrays[f"{i}/{f}"] = np.asarray(getattr(b, f))
+                val = getattr(b, f)
+                if val is not None:
+                    arrays[f"{i}/{f}"] = np.asarray(val)
         np.savez_compressed(path, n=np.asarray(len(batches)), **arrays)
         return batches
 

@@ -52,6 +52,11 @@ class ANFBatch:
     n_vars: jnp.ndarray         # [] int32
     n_clauses: jnp.ndarray      # [] int32
     n_graphs: jnp.ndarray       # [] int32
+    # 1.0 on free message-bit input vars (no equation defines them — the
+    # circuit's true degrees of freedom, sat/anf_completion.free_inputs_of);
+    # supervised CE can upweight these rows (round-4 finding: free-input
+    # accuracy ~76% vs ~93% overall is the solving bottleneck)
+    free_input_mask: jnp.ndarray | None = None  # [V] f32
 
     @property
     def V(self) -> int:
@@ -102,6 +107,7 @@ def build_anf_batch(systems: Sequence[tuple[int, Sequence[Sequence[Term]]]],
     nvpg = np.zeros(G, dtype=np.float32)
     ncpg = np.zeros(G, dtype=np.float32)
     sols = np.zeros(V, dtype=np.int32)
+    free_mask = np.zeros(V, dtype=np.float32)
 
     edge_node: list[int] = []
     edge_clause: list[int] = []
@@ -142,6 +148,20 @@ def build_anf_batch(systems: Sequence[tuple[int, Sequence[Sequence[Term]]]],
             for term in eq:
                 edge_node.append(node_of(tuple(term)))
                 edge_clause.append(c_off + ci)
+
+        # free message-bit inputs: the SHA circuit is feed-forward, so
+        # every equation's max var id is the gate output it defines; a var
+        # that is no equation's max is a free input (same convention as
+        # sat/anf_completion.free_inputs_of, which operates on the global
+        # ids of an already-built batch)
+        defined: set[int] = set()
+        for eq in equations:
+            vs = [v for term in eq for v in term]
+            if vs:
+                defined.add(max(vs))
+        for v in range(1, n_vars + 1):
+            if v not in defined:
+                free_mask[v_off + v - 1] = 1.0
         v_off += n_vars
         c_off += len(equations)
 
@@ -189,6 +209,7 @@ def build_anf_batch(systems: Sequence[tuple[int, Sequence[Sequence[Term]]]],
         n_vars=np.asarray(v_off, np.int32),
         n_clauses=np.asarray(c_off, np.int32),
         n_graphs=np.asarray(n_graphs, np.int32),
+        free_input_mask=np.asarray(free_mask),
     )
 
 

@@ -29,6 +29,13 @@ class ANFSATConfig:
     supervised: bool = True
     use_message_passing: bool = True
     use_query: bool = True
+    # CE weight multiplier on free message-bit input vars
+    # (batch.free_input_mask). Motivation: the round-4 error-structure
+    # study showed free-input accuracy (~76%) is the systems-solved
+    # bottleneck — input-anchored CDCL completion recovers every system
+    # whose inputs are right, and derived vars are pure functions of the
+    # inputs (ANF_ERROR_STRUCTURE*.json, sat/anf_completion.py).
+    free_input_upweight: float = 1.0
     update_scale: float = 2.0
     output_scale: float = 1.0
     clauses_scale: float = 2.0
@@ -201,8 +208,13 @@ def anf_sat_apply(params: dict, cfg: ANFSATConfig, batch: ANFBatch,
         if cfg.supervised and labels is not None:
             ce = jnp.maximum(logits, 0) - logits * smoothed + \
                 jnp.log1p(jnp.exp(-jnp.abs(logits)))
-            logit_loss = jnp.sum(ce * batch.var_mask[:, None]) / \
-                jnp.maximum(jnp.sum(batch.var_mask), 1.0)
+            ce_w = batch.var_mask
+            if (cfg.free_input_upweight != 1.0
+                    and batch.free_input_mask is not None):
+                ce_w = ce_w * (1.0 + (cfg.free_input_upweight - 1.0)
+                               * batch.free_input_mask)
+            logit_loss = jnp.sum(ce * ce_w[:, None]) / \
+                jnp.maximum(jnp.sum(ce_w), 1.0)
         else:
             neg2 = jnp.concatenate([-logits, jnp.zeros_like(logits)], axis=-1)
             clauses_real, _, _, _ = anf_value_cplx(neg2, batch, use_norm=True)

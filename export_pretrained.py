@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--feature_maps", type=int, default=128)
     p.add_argument("--query_maps", type=int, default=128)
     p.add_argument("--out", required=True)
+    p.add_argument("--note", default="",
+                   help="free-text provenance note stored in the npz meta")
     args = p.parse_args(argv)
 
     if args.model == "query_sat":
@@ -62,6 +64,8 @@ def main(argv=None):
     meta = {"model": args.model, "step": int(restored.step),
             "config": {k: v for k, v in vars(cfg).items()
                        if isinstance(v, (int, float, str, bool))}}
+    if args.note:
+        meta["note"] = args.note
     export_params(restored.params, args.out, meta=meta)
     n = sum(x.size for x in jax.tree_util.tree_leaves(restored.params))
     print(f"exported {n} params (step {int(restored.step)}) -> {args.out}")
