@@ -10,6 +10,7 @@ and checkpointing. Run:
 from __future__ import annotations
 
 import sys
+import time
 from dataclasses import asdict as dataclasses_asdict
 
 import numpy as np
@@ -73,6 +74,7 @@ def main(argv=None):
         feature_maps=cfg.feature_maps, query_maps=cfg.query_maps,
         train_rounds=cfg.train_rounds, test_rounds=cfg.test_rounds,
         logit_maps=cfg.logit_maps, noise_skew=cfg.noise_skew,
+        label_isolation_alpha=cfg.label_isolation_alpha,
         # block-level bf16 on the dense path: 2.34x step speedup
         # (BENCH_BLOCKBF16_r03) at matched convergence (3000-step paired
         # sanity, runs_sanity/*bf16ctl*: loss curves statistically
@@ -93,6 +95,16 @@ def main(argv=None):
     test_data = dataset.test_data()
     print(f"train batches: {len(train_data)}, test batches: {len(test_data)}",
           flush=True)
+    if cfg.label_isolation_alpha != 0.0:
+        if cfg.label_samples <= 1:
+            raise SystemExit("--label_isolation_alpha requires a "
+                             "multi-label bank (--label_samples > 1)")
+        from diffusionsat_tpu.graph.batch import attach_label_isolation
+        t0 = time.time()
+        train_data.batches = [attach_label_isolation(b)
+                              for b in train_data.batches]
+        print(f"label isolation attached to {len(train_data)} batches "
+              f"in {time.time() - t0:.0f}s", flush=True)
 
     with jax.default_device(jax.devices("cpu")[0]):
         params = query_sat_init(jax.random.key(cfg.seed), model_cfg)

@@ -70,6 +70,10 @@ class RunConfig:
     # training noise-level distribution: noise = U**(1/noise_skew); >1
     # skews draws toward high noise (see QuerySATConfig.noise_skew)
     noise_skew: float = 1.0
+    # weighted label-bank selection: softmax(alpha * per-row isolation)
+    # instead of uniform; counters the raw sampler's basin-volume bias
+    # (see QuerySATConfig.label_isolation_alpha, UNIFORMITY_ANALYSIS.md)
+    label_isolation_alpha: float = 0.0
 
     # execution layout: dense per-graph blocks (graph/dense_batch.py) when
     # every graph fits the block dims — the MXU fast path for small-graph

@@ -51,8 +51,8 @@ def _load_batches(path: Path) -> list[SatBatch]:
             elif f == "edge_perm_l":  # older cache schema
                 E = len(data[f"{i}/edge_lit_l"])
                 kwargs[f] = np.arange(E, dtype=np.int32)
-            elif f == "solutions_k":  # optional multi-label bank
-                kwargs[f] = None
+            elif f in ("solutions_k", "label_isolation_k"):
+                kwargs[f] = None  # optional fields default to unset
             else:
                 raise KeyError(key)
         out.append(SatBatch(**kwargs))

@@ -97,6 +97,14 @@ class SatBatch:
     # (reference data/diffusion_sat_instances.py:36-94) — this is a
     # deliberate improvement, not a parity feature.
     solutions_k: jnp.ndarray | None = None
+    # optional per-bank-row isolation scores [K, G] f32: z-scored (per
+    # graph) mean Hamming distance of each bank row to the other rows.
+    # Used by train/loop._select_labels with cfg.label_isolation_alpha to
+    # bias label selection toward isolated solutions — the counterweight
+    # to the raw sampler's basin-volume bias (UNIFORMITY_ANALYSIS.md:
+    # sampling frequency ~ exp(-0.19 * z(distance)), central solutions
+    # over-sampled). attach_label_isolation() computes it post-load.
+    label_isolation_k: jnp.ndarray | None = None
 
     @property
     def V(self) -> int:
@@ -234,3 +242,34 @@ def build_batch(formulas: Sequence[tuple[int, Sequence[Sequence[int]]]],
         n_graphs=np.asarray(n_graphs, dtype=np.int32),
         solutions_k=sol_k,
     )
+
+
+def attach_label_isolation(batch: SatBatch) -> SatBatch:
+    """Compute per-bank-row isolation scores for weighted label selection.
+
+    For each graph, every solutions_k row gets its mean Hamming distance
+    (fraction of differing bits over the graph's vars) to the other K-1
+    rows, z-scored within the graph. Because the bank rows are uniform
+    solution draws, distance-to-the-bank estimates distance-to-a-random-
+    solution, i.e. the negative of the centrality statistic that explains
+    the raw sampler's per-solution bias (benchmarks/solution_bias.py,
+    UNIFORMITY_ANALYSIS.md). Host-side numpy; no-op without a bank.
+    """
+    if batch.solutions_k is None:
+        return batch
+    sk = np.asarray(batch.solutions_k)          # [K, V]
+    K = sk.shape[0]
+    var_graph = np.asarray(batch.var_graph)
+    G = batch.graph_mask.shape[0]
+    iso = np.zeros((K, G), np.float32)
+    if K > 1:
+        for g in range(int(batch.n_graphs)):
+            rows = sk[:, var_graph == g]        # [K, n_vars_g]
+            if rows.shape[1] == 0:
+                continue
+            d = (rows[:, None, :] != rows[None, :, :]).mean(-1)
+            dbar = d.sum(1) / (K - 1)
+            std = dbar.std()
+            if std > 1e-9:
+                iso[:, g] = (dbar - dbar.mean()) / std
+    return batch.replace(label_isolation_k=iso)

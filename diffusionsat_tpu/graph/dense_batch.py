@@ -50,6 +50,9 @@ class DenseSatBatch:
     n_graphs: np.ndarray           # [] int32
     # optional multi-label bank [K, G, Vg] int32 (see SatBatch.solutions_k)
     solutions_k: np.ndarray | None = None
+    # optional per-bank-row isolation scores [K, G] f32
+    # (see SatBatch.label_isolation_k; layout-independent shape)
+    label_isolation_k: np.ndarray | None = None
 
     @property
     def G(self) -> int:
@@ -119,6 +122,12 @@ def dense_from_flat(b: SatBatch, G: int, Vg: int, Cg: int) -> DenseSatBatch:
     flat_sol_k = None if b.solutions_k is None else np.asarray(b.solutions_k)
     sol_k = None if flat_sol_k is None else \
         np.zeros((flat_sol_k.shape[0], G, Vg), np.int32)
+    flat_iso = None if getattr(b, "label_isolation_k", None) is None \
+        else np.asarray(b.label_isolation_k)
+    iso_k = None
+    if flat_iso is not None:
+        iso_k = np.zeros((flat_iso.shape[0], G), np.float32)
+        iso_k[:, :nb_graphs] = flat_iso[:, :nb_graphs]
     for g in range(nb_graphs):
         var_mask[g, :nv[g]] = 1.0
         clause_mask[g, :nc[g]] = 1.0
@@ -140,7 +149,7 @@ def dense_from_flat(b: SatBatch, G: int, Vg: int, Cg: int) -> DenseSatBatch:
         n_vars=np.asarray(int(nv.sum()), np.int32),
         n_clauses=np.asarray(int(nc.sum()), np.int32),
         n_graphs=np.asarray(nb_graphs, np.int32),
-        solutions_k=sol_k)
+        solutions_k=sol_k, label_isolation_k=iso_k)
 
 
 def densify_batches(batches, pad_graphs: int = 4, pad_nodes: int = 8

@@ -91,6 +91,13 @@ class QuerySATConfig:
     # run is deterministic given explicit noise inputs — used by the
     # flat-vs-dense equivalence tests and for NaN bisection
     debug_zero_noise: bool = False
+    # weighted multi-label selection: label-bank rows drawn with logits
+    # alpha * label_isolation_k instead of uniformly (train/loop.
+    # _select_labels). Positive alpha over-samples isolated solutions to
+    # counter the raw sampler's basin-volume bias (UNIFORMITY_ANALYSIS.md
+    # measured frequency ~ exp(-0.19 * z(distance)); alpha ~ +0.2 is the
+    # first-order correction). 0.0 = reference-uniform selection.
+    label_isolation_alpha: float = 0.0
     # training-time noise-level distribution: noise_scale = U**(1/skew).
     # skew=1.0 is the reference's uniform draw (model/query_sat.py:200
     # here, reference diffusion_training.py noise sampling); skew>1 skews
