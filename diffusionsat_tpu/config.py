@@ -57,6 +57,11 @@ class RunConfig:
 
     # mode flags (reference config.py:74-82)
     restore: str | None = None
+    # warm-start params from a portable pretrained .npz (export_params);
+    # optimizer state and step start fresh. An orbax checkpoint found via
+    # --restore / the run dir takes priority so watchdog restarts resume
+    # rather than re-warm (same semantics as anf_training --init_npz).
+    init_npz: str = ""
     force_data_gen: bool = False
     eager: bool = False  # maps to jax disable_jit/debug_nans
     label: str = ""
