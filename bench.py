@@ -142,6 +142,34 @@ def main():
         bench_batches = [batch]
         edge_counts = [real_edges]
 
+    # DSAT_MEGA_STEPS=N (dense only): scan N steps per dispatch — one
+    # tunnel RPC instead of N (train/loop.make_scanned_train_step_for;
+    # bit-identical trajectory, tests/test_mega_step.py). Each bench
+    # batch is stacked with itself N times, so per-step compute is
+    # unchanged and the delta isolates dispatch overhead.
+    steps_per_call = 1
+    mega_n = int(os.environ.get("DSAT_MEGA_STEPS", "0"))
+    if mega_n > 1 and variant == "dense":
+        from diffusionsat_tpu.train.loop import (
+            make_scanned_train_step_for, stack_batches)
+        train_step = make_scanned_train_step_for(query_sat_dense_apply,
+                                                 cfg, opt)
+        bench_batches = [stack_batches([b] * mega_n)
+                         for b in bench_batches]
+        steps_per_call = mega_n
+        variant = f"dense_mega{mega_n}"
+
+    # device-cache the batch stream up-front, matching the production
+    # training configuration (diffusion_training.py device_puts every
+    # batch ONCE; re-uploading per dispatch both leaks tunnel host memory
+    # and pays per-step transfer — the flagship driver measured ~30%
+    # faster device-cached). DSAT_BENCH_DEVICE_CACHE=0 restores the old
+    # upload-per-step basis for continuity readings.
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("DSAT_BENCH_DEVICE_CACHE", "1") == "1"):
+        _dev = jax.devices()[0]
+        bench_batches = [jax.device_put(b, _dev) for b in bench_batches]
+
     # warmup / compile each shape; NB fetch a value to the host — through
     # the axon tunnel block_until_ready alone does not wait for execution.
     # Two warm passes: the tunnel runs the FIRST dispatches of a freshly
@@ -171,7 +199,7 @@ def main():
             profile_dir = None
     cycles = 4
     n_windows = int(os.environ.get("DSAT_BENCH_WINDOWS", "5"))
-    n_steps = cycles * len(bench_batches)
+    n_steps = cycles * len(bench_batches) * steps_per_call
     window_dts = []
     for w in range(n_windows):
         t0 = time.perf_counter()
@@ -214,14 +242,14 @@ def main():
         "mde_pct": round(100 * (max(window_dts) - min(window_dts))
                          / (2 * dt), 1),
         "variant": variant,
-        "packing": "size-sorted" if variant == "dense" else "mixed",
+        "packing": "size-sorted" if variant.startswith("dense") else "mixed",
         "edges": int(sum(edge_counts) / len(edge_counts)),
         "vars": int(np.mean([int(b.n_vars) for b, _ in packed])) if
-        variant == "dense" else int(bench_batches[0].n_vars),
+        variant.startswith("dense") else int(bench_batches[0].n_vars),
         "clauses": int(np.mean([int(b.n_clauses) for b, _ in packed])) if
-        variant == "dense" else int(bench_batches[0].n_clauses),
+        variant.startswith("dense") else int(bench_batches[0].n_clauses),
         "graphs": int(np.mean([int(b.n_graphs) for b, _ in packed])) if
-        variant == "dense" else int(bench_batches[0].n_graphs),
+        variant.startswith("dense") else int(bench_batches[0].n_graphs),
         "rounds": rounds,
     }
     # measured reference anchor (benchmarks/bench_tf_reference.py): the

@@ -127,6 +127,68 @@ def make_train_step_for(apply_fn: Callable, cfg,
     return train_step
 
 
+def make_scanned_train_step_for(apply_fn: Callable, cfg,
+                                optimizer: optax.GradientTransformation
+                                ) -> Callable:
+    """N training steps in ONE dispatch: `lax.scan` of the train-step
+    body over a leading stack axis of same-shape batches.
+
+    Through the axon tunnel every jitted call is an RPC; chaining N
+    steps inside one executable removes N-1 per-step dispatches (and the
+    host-side Python/serialization work with them). Bit-identical to N
+    sequential `make_train_step_for` calls: the body splits keys in the
+    same order and runs the same update (tests/test_mega_step.py).
+
+    The returned step takes (state, stacked_batch) where `stacked_batch`
+    is a pytree of same-shape batches stacked on axis 0 (see
+    `stack_batches`), and advances `state.step` by the stack length."""
+    with_labels = _accepts_labels(apply_fn)
+    iso_alpha = float(getattr(cfg, "label_isolation_alpha", 0.0))
+
+    @jax.jit
+    def mega_step(state: TrainState, stacked):
+        def body(st, batch):
+            multilabel = with_labels and \
+                getattr(batch, "solutions_k", None) is not None
+            if multilabel:
+                key, subkey, k_label = jax.random.split(st.key, 3)
+                labels = _select_labels(batch, k_label,
+                                        isolation_alpha=iso_alpha)
+            else:
+                key, subkey = jax.random.split(st.key)
+                labels = batch.solutions
+
+            def loss_fn(params):
+                kw = {"labels": labels} if with_labels else {}
+                _, loss, steps, _ = apply_fn(params, cfg, batch, subkey,
+                                             training=True, **kw)
+                return loss, steps
+
+            (loss, steps), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, opt_state = optimizer.update(grads, st.opt_state,
+                                                  st.params)
+            params = optax.apply_updates(st.params, updates)
+            nxt = TrainState(params=params, opt_state=opt_state,
+                             step=st.step + 1, key=key)
+            return nxt, {"loss": loss, "steps_taken": steps}
+
+        state, outs = jax.lax.scan(body, state, stacked)
+        return state, {"loss": jnp.mean(outs["loss"]),
+                       "loss_per_step": outs["loss"],
+                       "steps_taken": outs["steps_taken"][-1]}
+
+    return mega_step
+
+
+def stack_batches(batches):
+    """Stack same-shape batch pytrees on a new leading axis (host-side
+    numpy; optional None fields must be uniformly set or unset)."""
+    import numpy as _np
+    return jax.tree.map(lambda *xs: _np.stack([_np.asarray(x) for x in xs]),
+                        *batches)
+
+
 def make_train_step(cfg: QuerySATConfig, optimizer: optax.GradientTransformation
                     ) -> Callable[[TrainState, SatBatch], tuple[TrainState, dict]]:
     """Jitted supervised-diffusion train step on QuerySAT
