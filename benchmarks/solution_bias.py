@@ -85,7 +85,19 @@ def main(argv=None):
         # centrality: negative mean Hamming distance to other solutions
         d = (bits[:, None, :] != bits[None, :, :]).sum(-1).astype(float)
         centrality = -d.mean(1)
+        # fitted magnitude of the bias: OLS slope of log relative
+        # frequency vs the z-scored mean distance ("isolation"). This is
+        # the exponent the isolation-weighted training lever targets
+        # (train/loop._select_labels): baseline k64 raw reads ~-0.19; a
+        # successful counterweight drives it toward 0.
+        K = len(sols)
+        dbar = d.sum(1) / max(K - 1, 1)
+        z = (dbar - dbar.mean()) / max(dbar.std(), 1e-9)
+        slope_a = float(np.polyfit(z, np.log(ca + 1e-9), 1)[0])
+        slope_b = float(np.polyfit(z, np.log(cb + 1e-9), 1)[0])
         per_formula.append({
+            "slope_a_logfreq_per_z": round(slope_a, 4),
+            "slope_b_logfreq_per_z": round(slope_b, 4),
             "formula": ra.get("formula"),
             "n_solutions": len(sols),
             "rho_freq_a_vs_b": round(rho_ab, 4),
@@ -103,6 +115,10 @@ def main(argv=None):
         "mean_rho_freq_a_vs_b": round(float(np.mean(rho_ab)), 4),
         "mean_rho_a_vs_centrality": round(float(np.mean(rho_ac)), 4),
         "mean_rho_b_vs_centrality": round(float(np.mean(rho_bc)), 4),
+        "mean_slope_a_logfreq_per_z": round(float(np.mean(
+            [f["slope_a_logfreq_per_z"] for f in per_formula])), 4),
+        "mean_slope_b_logfreq_per_z": round(float(np.mean(
+            [f["slope_b_logfreq_per_z"] for f in per_formula])), 4),
         "per_formula": per_formula,
     }
     print(json.dumps({k: v for k, v in out.items() if k != "per_formula"},
