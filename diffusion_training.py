@@ -142,6 +142,8 @@ def main(argv=None):
 
     train_stream = train_data
     diag_apply = None
+    mega_chunks = None
+    diag_host_batch = None
     if cfg.dense:
         try:
             from diffusionsat_tpu.graph.dense_batch import (
@@ -193,6 +195,32 @@ def main(argv=None):
                 plans = [build_batch_plans(b) for b in flat_rest]
                 if all(p is not None for p in plans):
                     flat_plans = plans
+            # mega-steps: stack same-shape batches into N-step chunks on
+            # the HOST (stacking device-resident arrays would fetch them
+            # back through the tunnel), one lax.scan dispatch per chunk
+            if (cfg.mega_steps > 1 and not cfg.self_supervised
+                    and cfg.n_devices == 1 and not flat_rest):
+                from diffusionsat_tpu.train.loop import stack_batches
+                groups: dict = {}
+                for b in dense_batches:
+                    k = (b.G, b.Vg, b.Cg, b.solutions_k is not None,
+                         getattr(b, "label_isolation_k", None) is not None)
+                    groups.setdefault(k, []).append(b)
+                diag_host_batch = dense_batches[0]
+                mega_chunks = []
+                for bs in groups.values():
+                    for i in range(0, len(bs), cfg.mega_steps):
+                        mega_chunks.append(
+                            stack_batches(bs[i:i + cfg.mega_steps]))
+                dense_batches = mega_chunks
+                print(f"mega-steps: {len(mega_chunks)} chunks "
+                      f"(<= {cfg.mega_steps} steps/dispatch, "
+                      f"{len(groups)} shape groups)", flush=True)
+            elif cfg.mega_steps > 1:
+                print("WARNING: --mega_steps needs a dense-only, "
+                      "single-device, supervised stream; ignored",
+                      flush=True)
+
             # pre-place every training batch on the device ONCE: repeated
             # per-step host->device uploads through the axon tunnel leak
             # host memory (~4 MB/step — the 167k flagship run was
@@ -222,7 +250,12 @@ def main(argv=None):
                     print(f"WARNING: self-supervised step is dense-only; "
                           f"{len(flat_rest)} over-cutoff batches excluded",
                           flush=True)
-            else:
+            elif mega_chunks is not None:
+                from diffusionsat_tpu.train.loop import (
+                    make_scanned_train_step_for)
+                train_step = make_scanned_train_step_for(
+                    query_sat_dense_apply, model_cfg, optimizer)
+            if mega_chunks is None and not cfg.self_supervised:
                 dense_step = make_train_step_for(query_sat_dense_apply,
                                                  model_cfg, optimizer)
                 if flat_rest:
@@ -253,8 +286,10 @@ def main(argv=None):
                 print(f"hybrid dispatch: {len(dense_batches)} dense + "
                       f"{len(flat_rest)} flat batches "
                       f"(cutoff {dense_max_vars} vars)", flush=True)
-            shapes = sorted({(d.G, d.Vg, d.Cg) for d in dense_batches})
-            print(f"dense layout shapes (G, Vg, Cg): {shapes}", flush=True)
+            if mega_chunks is None:
+                shapes = sorted({(d.G, d.Vg, d.Cg) for d in dense_batches})
+                print(f"dense layout shapes (G, Vg, Cg): {shapes}",
+                      flush=True)
         except ValueError as e:
             print(f"dense layout unavailable ({e}); flat path", flush=True)
             cfg = __import__("dataclasses").replace(cfg, dense=False)
@@ -332,7 +367,10 @@ def main(argv=None):
     diag_fn = make_diagnostics_step(
         model_cfg, diag_apply) if diag_apply is not None else \
         make_diagnostics_step(model_cfg)
-    diag_batch = train_stream.batches[0]
+    # under mega-steps the stream holds stacked chunks; diagnostics run
+    # on a single (host-side) batch
+    diag_batch = (diag_host_batch if diag_host_batch is not None
+                  else train_stream.batches[0])
 
     # device-cache the eval batches for the same tunnel-leak reason
     eval_batches = list(test_data)[:8]
@@ -357,11 +395,15 @@ def main(argv=None):
     tb = TBWriter(run_dir / "tb")
     tb.hparams(dataclasses_asdict(cfg))
 
+    # with mega-steps each train() iteration advances `mega_div` real
+    # steps; cadences round to chunk boundaries
+    mega_div = cfg.mega_steps if mega_chunks is not None else 1
     state = train(
         state, train_step, data_stream,
-        steps=cfg.train_steps - int(state.step),
-        eval_fn=eval_fn, eval_every=cfg.eval_every,
-        checkpoint_fn=mgr.save, ckpt_every=cfg.ckpt_every,
+        steps=-(-max(cfg.train_steps - int(state.step), 0) // mega_div),
+        eval_fn=eval_fn, eval_every=max(1, cfg.eval_every // mega_div),
+        checkpoint_fn=mgr.save,
+        ckpt_every=max(1, cfg.ckpt_every // mega_div),
         log_file=run_dir / "train_log.jsonl", tb_writer=tb)
     mgr.save(state)
     final = eval_fn(state)

@@ -79,6 +79,13 @@ class RunConfig:
     # instead of uniform; counters the raw sampler's basin-volume bias
     # (see QuerySATConfig.label_isolation_alpha, UNIFORMITY_ANALYSIS.md)
     label_isolation_alpha: float = 0.0
+    # N training steps per device dispatch (lax.scan over same-shape
+    # stacked batches, train/loop.make_scanned_train_step_for): removes
+    # N-1 tunnel RPCs per N steps. Dense-only, single-device, supervised
+    # streams; 0/1 = off. Step accounting is approximate by up to one
+    # trailing partial chunk per shape group; eval/ckpt cadence rounds to
+    # chunk boundaries.
+    mega_steps: int = 0
 
     # execution layout: dense per-graph blocks (graph/dense_batch.py) when
     # every graph fits the block dims — the MXU fast path for small-graph

@@ -415,6 +415,7 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
 
     t0 = time.time()
     window_losses = []
+    prev_step = int(state.step)
     for i in range(steps):
         batch = next(data_iter)
         state, out = train_step(state, batch)
@@ -431,8 +432,12 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
             msg = {
                 "step": step,
                 "loss": sum(window_losses) / len(window_losses),
-                "steps_per_sec": log_every / dt,
+                # real steps per second: a mega-step call advances
+                # state.step by its chunk length, so count from the
+                # state rather than assuming one step per iteration
+                "steps_per_sec": (step - prev_step) / dt,
             }
+            prev_step = step
             print(f"[train] {msg}")
             if log_file is not None:
                 with Path(log_file).open("a") as f:
