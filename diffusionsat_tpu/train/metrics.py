@@ -154,6 +154,7 @@ class ANFAccuracy(Metric):
     def __init__(self) -> None:
         self.accs: list[float] = []
         self.solved: list[float] = []
+        self.free_accs: list[float] = []
 
     def update_state(self, model_output, batch):
         from diffusionsat_tpu.losses.anf import anf_value_real
@@ -165,6 +166,17 @@ class ANFAccuracy(Metric):
         pred_bits = (1.0 / (1.0 + np.exp(-logits2[:, 0])) > 0.5).astype(int)
         n = max(var_mask.sum(), 1.0)
         self.accs.append(float(((pred_bits == sols) * var_mask).sum() / n))
+
+        # free message-bit input accuracy — the solving bottleneck for
+        # input-anchored completion (ANF_ERROR_STRUCTURE*.json: ~76% here
+        # vs ~93% overall on SHA-1 r17); surfacing it in-training makes
+        # the free_input_upweight lever observable
+        fim = getattr(batch, "free_input_mask", None)
+        if fim is not None:
+            fim = np.asarray(fim) * var_mask
+            if fim.sum() > 0:
+                self.free_accs.append(
+                    float(((pred_bits == sols) * fim).sum() / fim.sum()))
 
         # clause values under the rounded prediction: bit b -> logits ±10
         hard = np.where(pred_bits == 1, -10.0, 10.0).astype(np.float32)
@@ -184,12 +196,14 @@ class ANFAccuracy(Metric):
             "total_accuracy": float(np.mean(self.solved))
             if self.solved else 0.0,
         }
+        if self.free_accs:
+            out["free_input_accuracy"] = float(np.mean(self.free_accs))
         if reset_state:
             self.reset_state()
         return out
 
     def reset_state(self):
-        self.accs, self.solved = [], []
+        self.accs, self.solved, self.free_accs = [], [], []
 
 
 class StepStatistics(Metric):
