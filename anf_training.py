@@ -65,6 +65,11 @@ def main(argv=None):
                         "vars (the circuit's true degrees of freedom; "
                         "round-4 finding: their ~76%% accuracy vs ~93%% "
                         "overall bottlenecks input-anchored solving)")
+    p.add_argument("--mega_steps", type=int, default=0,
+                   help="N steps per device dispatch (lax.scan over "
+                        "stacked batches — every ANF batch shares the "
+                        "bucket's padded shape, so stacking is free); "
+                        "removes N-1 tunnel RPCs per N steps. 0/1 = off")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--label", default="")
     p.add_argument("--train_dir", default="runs_anf")
@@ -141,6 +146,18 @@ def main(argv=None):
         print(f"Warm-started params from {args.init_npz} "
               f"(meta: {meta})", flush=True)
 
+    # mega-steps: chunk the (uniformly-shaped) batch stream into N-step
+    # stacks on the HOST, before device placement
+    mega_div = 1
+    if args.mega_steps > 1:
+        from diffusionsat_tpu.train.loop import stack_batches
+        n = args.mega_steps
+        train_batches = [stack_batches(train_batches[i:i + n])
+                         for i in range(0, len(train_batches), n)]
+        mega_div = n
+        print(f"mega-steps: {len(train_batches)} chunks of <= {n} "
+              f"steps/dispatch", flush=True)
+
     # pre-place every batch on the device ONCE: per-step host->device
     # uploads through the axon tunnel leak host memory (~batch-size/step,
     # never released until process exit) and cost a round-trip each; the
@@ -151,7 +168,11 @@ def main(argv=None):
         test_batches = [jax.device_put(b, dev) for b in test_batches]
         print("ANF batches device-cached", flush=True)
 
-    step_fn = make_train_step_for(anf_sat_apply, cfg, opt)
+    if args.mega_steps > 1:
+        from diffusionsat_tpu.train.loop import make_scanned_train_step_for
+        step_fn = make_scanned_train_step_for(anf_sat_apply, cfg, opt)
+    else:
+        step_fn = make_train_step_for(anf_sat_apply, cfg, opt)
 
     def eval_fn(st, max_batches=16):
         return evaluate_metrics(st.params, cfg, test_batches,
@@ -160,10 +181,12 @@ def main(argv=None):
                                 apply_fn=anf_sat_apply)
 
     state = train(state, step_fn, ds.repeat_shuffled(train_batches),
-                  steps=max(args.train_steps - int(state.step), 0),
+                  steps=-(-max(args.train_steps - int(state.step), 0)
+                          // mega_div),
                   eval_fn=eval_fn,
-                  eval_every=args.eval_every, checkpoint_fn=mgr.save,
-                  ckpt_every=args.eval_every * 2,
+                  eval_every=max(1, args.eval_every // mega_div),
+                  checkpoint_fn=mgr.save,
+                  ckpt_every=max(1, args.eval_every * 2 // mega_div),
                   log_file=run_dir / "train_log.jsonl")
     mgr.save(state)
     # the headline number: evaluate the FULL held-out set, not the
