@@ -26,6 +26,7 @@ for i in $(seq 1 20); do
         --train_steps "$STEPS" --eval_every 2000
         --lr "${LR:-1e-3}"
         --free_input_upweight "${FREE_UPW:-1.0}"
+        --mega_steps "${MEGA_STEPS:-0}"
         --cosine --label "${LABEL:-flagship160k}" --train_dir runs_anf)
   if [ -n "$CKPT" ]; then args+=(--restore "$CKPT"); fi
   if [ -n "${INIT_NPZ:-}" ]; then args+=(--init_npz "$INIT_NPZ"); fi

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-5k queue — chained on run_r5j_queue.sh's completion marker.
+# Round-5k queue — chained on run_r5n_queue.sh's completion marker.
 # Isolation-weighted label-selection pilot (the anti-basin-volume
 # training lever, UNIFORMITY_ANALYSIS.md): fine-tune the k64 flagship
 # 15k steps at alpha in {0.2, 0.4} plus an alpha=0 control (same extra
@@ -10,11 +10,11 @@
 set -u
 cd /root/repo
 for i in $(seq 1 2880); do
-  grep -q 'r5j queue done' logs/r5j_queue.log 2>/dev/null && break
+  grep -q 'r5n queue done' logs/r5n_queue.log 2>/dev/null && break
   sleep 15
 done
-if ! grep -q 'r5j queue done' logs/r5j_queue.log 2>/dev/null; then
-  echo "ABORT: r5j queue completion marker never appeared"; exit 1
+if ! grep -q 'r5n queue done' logs/r5n_queue.log 2>/dev/null; then
+  echo "ABORT: r5n queue completion marker never appeared"; exit 1
 fi
 
 START=$(date +%s)
