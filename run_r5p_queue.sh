@@ -65,7 +65,10 @@ fill_variant() {
     --json "SOLUTION_BIAS_${tag^^}_VS_RAW.json" || echo "solution_bias $tag FAILED"
 }
 
+# order by value: alpha=0.55 is the extrapolated zero of the bias slope
+# (iso04 moved it -0.200 -> -0.051, i.e. ~0.37 slope units per alpha
+# unit -> zero at alpha ~0.55); iso02 is the dose-linearity point.
+fill_variant mlk64iso055 0.55
 fill_variant mlk64iso02 0.2
-fill_variant mlk64iso04 0.4
 fill_variant mlk64isoctl 0.0
 echo "=== r5p queue done ($(date -u)) ==="
