@@ -71,4 +71,16 @@ fill_variant() {
 fill_variant mlk64iso055 0.55
 fill_variant mlk64iso02 0.2
 fill_variant mlk64isoctl 0.0
+
+# solve-impact check: the reweighted models must keep the k64 solve rate
+for tag in mlk64iso04 mlk64iso055 mlk64isoctl; do
+  run=$(ls -dt runs_flagship/query_sat_3-sat_${tag}_*/ckpt 2>/dev/null | head -1)
+  if [ -n "$run" ] && [ "$(left)" -gt 600 ] \
+      && [ ! -s "SOLVE_EVAL_${tag^^}.json" ]; then
+    echo "=== solve eval $tag tries=1 ($(date -u)) ==="
+    timeout 900 python solve_eval.py --model_ckpt "$run" \
+      --label_samples 64 --tries 1 --out "SOLVE_EVAL_${tag^^}.json"
+    sleep 10
+  fi
+done
 echo "=== r5p queue done ($(date -u)) ==="
