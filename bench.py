@@ -97,16 +97,16 @@ def main():
     profile_dir = os.environ.get("DSAT_PROFILE_DIR")
 
     rng = np.random.default_rng(0)
-    # workload: the reference's own scaling knob sized for this chip.
-    # The reference default is max_nodes_per_batch=20k on a T4
-    # (config.py:35) and its README names 60,000 "for more advanced
-    # cards" (README.md:28); v5e is that card. 60k full-pack measured
-    # +33% edge throughput over 20k (BENCH_60K_FULLPACK.json, mde 9.3%)
-    # AND better training convergence per wall-clock (CONV_20K_VS_60K:
-    # 81.8% vs 72.1% solved at 1500 steps for ~18% more wall time), so
-    # 60k is the default since round 5. DSAT_BENCH_NODES=20000 restores
-    # the r1-r4 budget for continuity readings.
-    node_budget = int(os.environ.get("DSAT_BENCH_NODES", "60000"))
+    # workload: the reference's 20k default budget (config.py:35), the
+    # r1-r5 continuity basis AND the throughput winner once batches are
+    # device-cached: 87.7 M edges/s at 20k vs 74.4 M at the 60k budget
+    # (BENCH_20K_DEVCACHE_r05 / BENCH_60K_FULLPACK, both median-of-5).
+    # The 60k budget ("for more advanced cards", reference README.md:28)
+    # remains the better TRAINING configuration per wall-clock
+    # (CONV_20K_VS_60K: 81.8% vs 72.1% solved at 1500 steps for ~18%
+    # more wall time) — larger batches buy gradient quality, not raw
+    # edge throughput. DSAT_BENCH_NODES=60000 benches that budget.
+    node_budget = int(os.environ.get("DSAT_BENCH_NODES", "20000"))
     n_batches = 6
     # scale the graph cap with the budget: at 60k nodes the historical
     # 512-graph cap binds for small-var size-sorted batches (a 8-var
