@@ -151,9 +151,15 @@ def main():
     # tunnel RPC instead of N (train/loop.make_scanned_train_step_for;
     # bit-identical trajectory, tests/test_mega_step.py). Each bench
     # batch is stacked with itself N times, so per-step compute is
-    # unchanged and the delta isolates dispatch overhead.
+    # unchanged and the delta isolates dispatch overhead. Default 8
+    # since round 5 (the recommended production flag for dense streams,
+    # diffusion_training --mega_steps): +9% at 20k (26.7 -> 24.5 ms)
+    # AND it collapses the tunnel's window-to-window jitter from
+    # mde ~9-30% to ~0.1% (BENCH_DISPATCH_LADDER_r05.jsonl) — per-step
+    # dispatch RPCs were the jitter source all along. DSAT_MEGA_STEPS=0
+    # restores per-step dispatch for continuity readings.
     steps_per_call = 1
-    mega_n = int(os.environ.get("DSAT_MEGA_STEPS", "0"))
+    mega_n = int(os.environ.get("DSAT_MEGA_STEPS", "8"))
     if mega_n > 1 and variant == "dense":
         from diffusionsat_tpu.train.loop import (
             make_scanned_train_step_for, stack_batches)
