@@ -25,7 +25,8 @@ from diffusionsat_tpu.train.loop import (
 BUCKET = BucketSpec(max_vars=16, max_clauses=24, max_edges=96, max_graphs=4)
 
 
-def dense_batches(n=3, seed=0):
+def dense_batches(n=3, seed=0, attach_iso=False):
+    from diffusionsat_tpu.graph.batch import attach_label_isolation
     rng = np.random.default_rng(seed)
     out = []
     for i in range(n):
@@ -39,9 +40,10 @@ def dense_batches(n=3, seed=0):
             formulas.append((nv, clauses))
             sols.append([[int(b) for b in rng.integers(0, 2, nv)]
                          for _ in range(4)])  # K=4 bank
-        out.append(dense_from_flat(build_batch(formulas, BUCKET,
-                                               solutions=sols),
-                                   G=4, Vg=8, Cg=16))
+        flat = build_batch(formulas, BUCKET, solutions=sols)
+        if attach_iso:
+            flat = attach_label_isolation(flat)
+        out.append(dense_from_flat(flat, G=4, Vg=8, Cg=16))
     return out
 
 
@@ -88,3 +90,37 @@ def test_stack_batches_preserves_optional_none():
     stacked = stack_batches(bare)
     assert stacked.solutions_k is None
     assert stacked.incidence.shape[0] == 2
+
+
+def test_scanned_equals_sequential_with_isolation():
+    """The flagship isolation run's exact combination (run_r6a_queue.sh):
+    K-label bank + attached isolation z-scores + alpha != 0, mega-scan vs
+    per-step — the weighted label selection must not break bit-level
+    trajectory equivalence."""
+    batches = dense_batches(3, seed=5, attach_iso=True)
+    assert all(b.label_isolation_k is not None for b in batches)
+    cfg = QuerySATConfig(feature_maps=16, query_maps=16, train_rounds=2,
+                         test_rounds=2, msg_layers=1, update_layers=1,
+                         label_isolation_alpha=0.45)
+    opt = adabelief(learning_rate=1e-3)
+
+    seq_step = make_train_step_for(query_sat_dense_apply, cfg, opt)
+    state_a = _fresh_state(cfg, opt)
+    losses = []
+    for b in batches:
+        state_a, out = seq_step(state_a, b)
+        losses.append(float(out["loss"]))
+
+    mega = make_scanned_train_step_for(query_sat_dense_apply, cfg, opt)
+    state_b = _fresh_state(cfg, opt)
+    state_b, mout = mega(state_b, stack_batches(batches))
+
+    assert int(state_b.step) == int(state_a.step) == 3
+    np.testing.assert_allclose(np.asarray(mout["loss_per_step"]), losses,
+                               rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6)
+    assert jnp.all(jax.random.key_data(state_a.key)
+                   == jax.random.key_data(state_b.key))
