@@ -95,7 +95,28 @@ def main(argv=None):
     test_data = dataset.test_data()
     print(f"train batches: {len(train_data)}, test batches: {len(test_data)}",
           flush=True)
-    if cfg.label_isolation_alpha != 0.0:
+    if cfg.label_logit_table:
+        # closed-loop per-solution reweighting: compose alpha*isolation +
+        # beta*(-log freq_hat) from a measured table into the per-row
+        # logit channel; the step consumes it with isolation_alpha=1.0
+        # (uniformity/reweight.py)
+        if cfg.label_samples <= 1:
+            raise SystemExit("--label_logit_table requires a "
+                             "multi-label bank (--label_samples > 1)")
+        from diffusionsat_tpu.uniformity.reweight import attach_logit_table
+        t0 = time.time()
+        with np.load(cfg.label_logit_table) as z:
+            table = dict(z)
+        n_meas = attach_logit_table(train_data.batches, table,
+                                    cfg.label_isolation_alpha,
+                                    cfg.label_reweight_beta)
+        import dataclasses as _dc
+        model_cfg = _dc.replace(model_cfg, label_isolation_alpha=1.0)
+        print(f"label logits attached: {n_meas}/{len(train_data)} batches "
+              f"measured (alpha={cfg.label_isolation_alpha}, "
+              f"beta={cfg.label_reweight_beta}) in {time.time() - t0:.0f}s",
+              flush=True)
+    elif cfg.label_isolation_alpha != 0.0:
         if cfg.label_samples <= 1:
             raise SystemExit("--label_isolation_alpha requires a "
                              "multi-label bank (--label_samples > 1)")

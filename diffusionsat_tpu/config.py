@@ -79,6 +79,13 @@ class RunConfig:
     # instead of uniform; counters the raw sampler's basin-volume bias
     # (see QuerySATConfig.label_isolation_alpha, UNIFORMITY_ANALYSIS.md)
     label_isolation_alpha: float = 0.0
+    # closed-loop per-solution reweighting: path to a measured frequency
+    # table (measure_bank_freq.py npz). Label-selection logits become
+    # label_isolation_alpha * isolation + label_reweight_beta *
+    # (-log freq_hat) per bank row — over-sampled solutions get fewer
+    # label draws (uniformity/reweight.py; beta=1 = inverse-frequency)
+    label_logit_table: str = ""
+    label_reweight_beta: float = 1.0
     # N training steps per device dispatch (lax.scan over same-shape
     # stacked batches, train/loop.make_scanned_train_step_for): removes
     # N-1 tunnel RPCs per N steps. Dense-only, single-device, supervised
