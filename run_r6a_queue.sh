@@ -74,32 +74,48 @@ done
 
 RUN=$(ls -dt runs_flagship/query_sat_3-sat_${LABEL}_*/ckpt 2>/dev/null | head -1)
 if [ -z "$RUN" ]; then echo "no $LABEL checkpoint; abort tail"; exit 1; fi
+# exit-code discipline (ADVICE r4): every artifact step is checked; a
+# failed step prints a distinct failure marker AND flips the final
+# marker, so downstream queues can distinguish partial completion
+FAILS=0
+step() {
+  "$@"
+  local rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "=== STEP FAILED rc=$rc: $* ($(date -u)) ==="
+    FAILS=$((FAILS + 1))
+  fi
+}
 echo "=== export first (durable artifact before long batteries) ($(date -u)) ==="
-timeout 900 env JAX_PLATFORM_NAME=cpu python export_pretrained.py \
+step timeout 900 env JAX_PLATFORM_NAME=cpu python export_pretrained.py \
   --ckpt "$RUN" --out pretrained/query_sat_3sat_diffusion_mlk64_iso45.npz \
   --note "167k full schedule, k64 bank, label_isolation_alpha=0.45, mega8"
 sleep 15
 echo "=== battery seed 0 ($(date -u)) ==="
-timeout 2400 python uniformity_benchmark.py --model_ckpt "$RUN" \
+step timeout 2400 python uniformity_benchmark.py --model_ckpt "$RUN" \
   --n_formulas 8 --k 40 --variants uniform,diffusion_nofreeze,diffusion_mh_xor \
   --out benchmarks_${LABEL}_k40.jsonl \
   --summary_out UNIFORMITY_SUMMARY_MLK64ISO45FULL.json
 sleep 15
 echo "=== solve evals ($(date -u)) ==="
-timeout 900 python solve_eval.py --model_ckpt "$RUN" --label_samples 64 \
+step timeout 900 python solve_eval.py --model_ckpt "$RUN" --label_samples 64 \
   --tries 1 --out SOLVE_EVAL_MLK64ISO45FULL_T1.json
 sleep 15
-timeout 1200 python solve_eval.py --model_ckpt "$RUN" --label_samples 64 \
+step timeout 1200 python solve_eval.py --model_ckpt "$RUN" --label_samples 64 \
   --tries 4 --out SOLVE_EVAL_MLK64ISO45FULL_T4.json
 sleep 15
 echo "=== battery seed 1 ($(date -u)) ==="
-timeout 2400 python uniformity_benchmark.py --model_ckpt "$RUN" \
+step timeout 2400 python uniformity_benchmark.py --model_ckpt "$RUN" \
   --n_formulas 8 --k 40 --seed 1 --variants uniform,diffusion_nofreeze \
   --out benchmarks_${LABEL}_s1_k40.jsonl \
   --summary_out UNIFORMITY_SUMMARY_MLK64ISO45FULL_S1.json
 sleep 15
-timeout 600 env JAX_PLATFORM_NAME=cpu python benchmarks/solution_bias.py \
+step timeout 600 env JAX_PLATFORM_NAME=cpu python benchmarks/solution_bias.py \
   --a benchmarks_${LABEL}_k40.jsonl --b benchmarks_mlk64_final_k40.jsonl \
   --a_variant diffusion_nofreeze --b_variant diffusion_nofreeze \
-  --json SOLUTION_BIAS_ISO45FULL_VS_RAW.json || echo "bias pairing FAILED"
-echo "=== r6a queue done ($(date -u)) ==="
+  --json SOLUTION_BIAS_ISO45FULL_VS_RAW.json
+if [ "$FAILS" -eq 0 ]; then
+  echo "=== r6a queue done ($(date -u)) ==="
+else
+  echo "=== r6a queue done WITH $FAILS FAILED STEPS ($(date -u)) ==="
+fi

@@ -14,7 +14,13 @@ if ! grep -q 'r6b queue done' logs/r6b_queue.log 2>/dev/null; then
   echo "ABORT: r6b queue completion marker never appeared"; exit 1
 fi
 RUN=$(ls -dt runs_flagship/query_sat_3-sat_mlk64iso45full_*/ckpt 2>/dev/null | head -1)
-if [ -z "$RUN" ]; then echo "no iso45full checkpoint; abort"; exit 1; fi
+if [ -z "$RUN" ]; then
+  # machine resets wipe runs_flagship/; the committed exported npz is the
+  # durable fallback (solve_eval accepts npz checkpoints) — ADVICE r4
+  RUN=pretrained/query_sat_3sat_diffusion_mlk64_iso45.npz
+  [ -f "$RUN" ] || { echo "no iso45full checkpoint or npz; abort"; exit 1; }
+  echo "run dir missing; falling back to $RUN"
+fi
 echo "=== solve eval tries=8 ($(date -u)) ==="
 timeout 1800 python solve_eval.py --model_ckpt "$RUN" --label_samples 64 \
   --tries 8 --out SOLVE_EVAL_MLK64ISO45FULL_T8.json

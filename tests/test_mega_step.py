@@ -1,8 +1,11 @@
 """Mega-step (lax.scan over stacked batches) == sequential train steps.
 
 One dispatch for N steps removes N-1 tunnel RPCs (train/loop.
-make_scanned_train_step_for); correctness bar: bit-level equivalence of
-the whole optimization trajectory with the per-step path.
+make_scanned_train_step_for); correctness bar: numerical equivalence of
+the whole optimization trajectory with the per-step path (losses rtol
+1e-5, final params atol 1e-6, PRNG key exactly equal — scan-vs-unrolled
+XLA scheduling may legally reorder float reductions, so the float
+comparisons are tight-tolerance, not bitwise; ADVICE r4).
 """
 
 import numpy as np
@@ -95,8 +98,8 @@ def test_stack_batches_preserves_optional_none():
 def test_scanned_equals_sequential_with_isolation():
     """The flagship isolation run's exact combination (run_r6a_queue.sh):
     K-label bank + attached isolation z-scores + alpha != 0, mega-scan vs
-    per-step — the weighted label selection must not break bit-level
-    trajectory equivalence."""
+    per-step — the weighted label selection must not break trajectory
+    equivalence (same tight tolerances as the plain mega-step test)."""
     batches = dense_batches(3, seed=5, attach_iso=True)
     assert all(b.label_isolation_k is not None for b in batches)
     cfg = QuerySATConfig(feature_maps=16, query_maps=16, train_rounds=2,
