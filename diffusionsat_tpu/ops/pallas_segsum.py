@@ -292,8 +292,15 @@ def _spmm_bwd(num_out, num_in, te_w, res, g):
 _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def plan_lit_to_clause(x: jnp.ndarray, plans: BatchPlans) -> jnp.ndarray:
-    """Pallas-backed lit->clause SpMM with c2l as its VJP."""
+def plan_lit_to_clause(x: jnp.ndarray, plans) -> jnp.ndarray:
+    """lit->clause SpMM via the planned backend: Pallas segsum plans or
+    block-sparse tiles (ops/tiled_ops.TiledIncidence) — the model and the
+    losses dispatch on the plan object's type, so every `plans=` call
+    site serves both layouts."""
+    from diffusionsat_tpu.ops.tiled_ops import (
+        TiledIncidence, tiled_lit_to_clause)
+    if isinstance(plans, TiledIncidence):
+        return tiled_lit_to_clause(x, plans)
     return _spmm(x, plans.c_local_ids, plans.c_mask, plans.c_base,
                  plans.c_gather, plans.l_local_ids, plans.l_mask,
                  plans.l_base, plans.l_gather,
@@ -301,8 +308,12 @@ def plan_lit_to_clause(x: jnp.ndarray, plans: BatchPlans) -> jnp.ndarray:
                  (plans.tile_edges, plans.window))
 
 
-def plan_clause_to_lit(x: jnp.ndarray, plans: BatchPlans) -> jnp.ndarray:
-    """Pallas-backed clause->lit SpMM with l2c as its VJP."""
+def plan_clause_to_lit(x: jnp.ndarray, plans) -> jnp.ndarray:
+    """clause->lit SpMM via the planned backend (see plan_lit_to_clause)."""
+    from diffusionsat_tpu.ops.tiled_ops import (
+        TiledIncidence, tiled_clause_to_lit)
+    if isinstance(plans, TiledIncidence):
+        return tiled_clause_to_lit(x, plans)
     return _spmm(x, plans.l_local_ids, plans.l_mask, plans.l_base,
                  plans.l_gather, plans.c_local_ids, plans.c_mask,
                  plans.c_base, plans.c_gather,
