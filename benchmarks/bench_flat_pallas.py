@@ -158,6 +158,27 @@ def main(argv=None):
             if entry["flat_xla_ms"]:
                 entry["pallas_speedup"] = round(
                     entry["flat_xla_ms"] / entry["flat_pallas_ms"], 2)
+
+        # block-sparse tiled incidence (ops/tiled_ops.py): same planned
+        # train step, tiles as the plan object (VERDICT r4 item 4)
+        from diffusionsat_tpu.ops.tiled_ops import build_tiled_incidence
+        for tc, tl in ((128, 128), (64, 128)):
+            key = f"tiled_{tc}x{tl}"
+            ti = build_tiled_incidence(batch, tc=tc, tl=tl)
+            ti_dev = jax.device_put(ti, jax.devices()[0])
+            entry[f"{key}_tiles"] = int(ti.n_tiles)
+            entry[f"{key}_macs_per_edge"] = round(
+                ti.n_tiles * tc * tl / max(edges, 1), 1)
+            planned = make_planned_train_step(cfg, opt)
+            dt, wins, _ = time_step(planned, fresh_state(), dev_batch,
+                                    extra=(ti_dev,), windows=args.windows)
+            entry[f"{key}_ms"] = round(dt * 1e3, 2)
+            entry[f"{key}_windows_ms"] = wins
+            entry[f"{key}_edges_per_sec_M"] = round(
+                edges * 2 * args.rounds / dt / 1e6, 2)
+            if entry["flat_xla_ms"]:
+                entry[f"{key}_speedup"] = round(
+                    entry["flat_xla_ms"] / entry[f"{key}_ms"], 2)
         results[name] = entry
         print(json.dumps({name: entry}), flush=True)
 

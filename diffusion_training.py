@@ -95,6 +95,10 @@ def main(argv=None):
     test_data = dataset.test_data()
     print(f"train batches: {len(train_data)}, test batches: {len(test_data)}",
           flush=True)
+    if cfg.train_batch_limit > 0:
+        train_data.batches = train_data.batches[:cfg.train_batch_limit]
+        print(f"train batches limited to first {len(train_data)}",
+              flush=True)
     if cfg.label_logit_table:
         # closed-loop per-solution reweighting: compose alpha*isolation +
         # beta*(-log freq_hat) from a measured table into the per-row

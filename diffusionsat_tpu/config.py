@@ -86,6 +86,9 @@ class RunConfig:
     # label draws (uniformity/reweight.py; beta=1 = inverse-frequency)
     label_logit_table: str = ""
     label_reweight_beta: float = 1.0
+    # train on only the first N cached batches (0 = all): keeps a
+    # closed-loop fine-tune inside the measured subset of the cache
+    train_batch_limit: int = 0
     # N training steps per device dispatch (lax.scan over same-shape
     # stacked batches, train/loop.make_scanned_train_step_for): removes
     # N-1 tunnel RPCs per N steps. Dense-only, single-device, supervised

@@ -144,12 +144,16 @@ def main(argv=None):
             sat += np.asarray(s, np.int64)
             outside += np.asarray(o, np.int64)
             done += n
+        # write-to-temp + rename: a kill mid-write must not leave a
+        # corrupt part (the resume/finalize path trusts existing parts)
+        tmp = part.parent / f"part_{i}.tmp.npz"  # savez keeps .npz endings
         np.savez_compressed(
-            part, counts=counts[:, :ng].astype(np.int32),
+            tmp, counts=counts[:, :ng].astype(np.int32),
             sat=sat[:ng].astype(np.int32),
             outside=outside[:ng].astype(np.int32),
             fingerprint=np.str_(batch_fingerprint(flat)),
             n_chains=np.int32(args.chains))
+        os.replace(tmp, part)
         sat_rate = sat[:ng].sum() / max(ng * args.chains, 1)
         in_bank = counts[:, :ng].max(0).sum()  # upper bound, dups share
         print(f"batch {i + 1}/{n_run}: ng={ng} sat_rate={sat_rate:.3f} "
