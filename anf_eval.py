@@ -55,6 +55,14 @@ def main(argv=None):
                         "ones on a 0/2/4/8 ladder, CDCL-propagate "
                         "(sat/anf_completion.py; lifts systems-solved "
                         "~34%->~59% on the r17 flagship)")
+    p.add_argument("--marginalize_seeds", type=int, default=0,
+                   help="test-time marginalization: average the predicted "
+                        "bit posteriors over S noise seeds before "
+                        "thresholding/anchoring (posterior-average analog "
+                        "of multi-try predict, reference "
+                        "model/query_sat.py:424-445); 0/1 = off. With "
+                        "--cdcl_completion the anchored bits and the "
+                        "confidence ladder use the marginalized posterior")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -88,23 +96,69 @@ def main(argv=None):
                             graph_sat_fn=is_graph_sat_anf)
     vals["tries"] = args.tries
 
-    if args.cdcl_completion:
-        import numpy as np
+    import numpy as np
 
+    predict = jax.jit(lambda pr, b, k: anf_sat_apply(
+        pr, cfg, b, k, training=False)[0])
+
+    marg_probs = None
+    if args.marginalize_seeds > 1:
+        # posterior-average over S noise seeds; report marginalized vs
+        # single-seed accuracy on the free message bits (the input prior
+        # the anchored-CDCL ladder keys off)
+        S = args.marginalize_seeds
+        key = jax.random.key(11)
+        marg_probs = []
+        nvars = corr_m = 0
+        nfree = free_m = free_1 = 0
+        for batch in test_batches:
+            acc = first = None
+            for _ in range(S):
+                key, sub = jax.random.split(key)
+                head = np.asarray(predict(params, batch, sub))[:, 0]
+                prob = 1.0 / (1.0 + np.exp(-head))
+                if first is None:
+                    first = prob
+                acc = prob if acc is None else acc + prob
+            p_mean = acc / S
+            marg_probs.append(p_mean)
+            vm = np.asarray(batch.var_mask) > 0
+            sol = np.asarray(batch.solutions)
+            corr = ((p_mean > 0.5).astype(np.int32) == sol)
+            nvars += int(vm.sum())
+            corr_m += int(corr[vm].sum())
+            fim = getattr(batch, "free_input_mask", None)
+            if fim is not None:
+                m = (np.asarray(fim) > 0) & vm
+                nfree += int(m.sum())
+                free_m += int(corr[m].sum())
+                free_1 += int((((first > 0.5).astype(np.int32) == sol))[m].sum())
+        vals["marginalize_seeds"] = S
+        vals["marg_per_var_accuracy"] = round(corr_m / max(nvars, 1), 4)
+        if nfree:
+            vals["marg_free_input_accuracy"] = round(free_m / nfree, 4)
+            vals["single_free_input_accuracy"] = round(free_1 / nfree, 4)
+
+    if args.cdcl_completion:
         from diffusionsat_tpu.sat.anf_completion import (
             extract_graph_equations, input_anchored_complete)
 
-        predict = jax.jit(lambda pr, b, k: anf_sat_apply(
-            pr, cfg, b, k, training=False)[0])
         key = jax.random.key(9)
         solved = total = 0
         solved_at = {}
-        for batch in test_batches:
+        for bi, batch in enumerate(test_batches):
             key, sub = jax.random.split(key)
-            logits = np.asarray(predict(params, batch, sub))
-            head = logits[:, 0]
-            pred = (head > 0).astype(np.int8)
-            conf = np.abs(head)
+            if marg_probs is not None:
+                prob = marg_probs[bi]
+                pred = (prob > 0.5).astype(np.int8)
+                # vote margin as confidence: the ladder releases the
+                # least-agreed bits first
+                conf = np.abs(2.0 * prob - 1.0)
+            else:
+                logits = np.asarray(predict(params, batch, sub))
+                head = logits[:, 0]
+                pred = (head > 0).astype(np.int8)
+                conf = np.abs(head)
             var_graph = np.asarray(batch.var_graph)
             geqs = extract_graph_equations(batch)
             for g in np.where(np.asarray(batch.graph_mask) > 0)[0]:
