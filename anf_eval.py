@@ -63,6 +63,11 @@ def main(argv=None):
                         "model/query_sat.py:424-445); 0/1 = off. With "
                         "--cdcl_completion the anchored bits and the "
                         "confidence ladder use the marginalized posterior")
+    p.add_argument("--dump_marginals", default=None,
+                   help="save per-batch predicted bit posteriors (npz) for "
+                        "offline studies (benchmarks/anf_prior_study.py: "
+                        "CDCL seeded by the neural input prior); uses the "
+                        "marginalized posterior when --marginalize_seeds")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -138,6 +143,26 @@ def main(argv=None):
         if nfree:
             vals["marg_free_input_accuracy"] = round(free_m / nfree, 4)
             vals["single_free_input_accuracy"] = round(free_1 / nfree, 4)
+
+    if args.dump_marginals:
+        key = jax.random.key(13)
+        dump = {"n_batches": np.int32(len(test_batches)),
+                "marginalize_seeds": np.int32(args.marginalize_seeds),
+                "rounds": np.int32(args.rounds),
+                "min_free_bits": np.int32(args.min_free_bits),
+                "max_free_bits": np.int32(args.max_free_bits),
+                "test_size": np.int32(args.test_size),
+                "seed": np.int32(args.seed)}
+        for bi, batch in enumerate(test_batches):
+            if marg_probs is not None:
+                prob = marg_probs[bi]
+            else:
+                key, sub = jax.random.split(key)
+                head = np.asarray(predict(params, batch, sub))[:, 0]
+                prob = 1.0 / (1.0 + np.exp(-head))
+            dump[f"prob_{bi}"] = prob.astype(np.float32)
+        np.savez_compressed(args.dump_marginals, **dump)
+        print(f"marginals dumped to {args.dump_marginals}", flush=True)
 
     if args.cdcl_completion:
         from diffusionsat_tpu.sat.anf_completion import (

@@ -439,6 +439,41 @@ int dsat_solve(int n_vars, const int32_t* lits, int64_t n_lits, int8_t* model,
   return -1;
 }
 
+// Solve with model-seeded search: optional initial phases (init_polarity
+// per var: -1 = solver default, 0/1 = preferred value — branching tries
+// the model's predicted bit first) and optional initial VSIDS activities
+// (init_activity per var, nullable — confidence-ordered decisions before
+// conflict-driven bumping takes over). Reports the conflict count in
+// *out_conflicts (always set). Returns like dsat_solve. This is the seam
+// for the neural-input-prior study: CDCL guided by the ANF model's
+// predicted input-bit marginals vs plain CDCL.
+int dsat_solve_seeded(int n_vars, const int32_t* lits, int64_t n_lits,
+                      int8_t* model, uint64_t seed,
+                      const int8_t* init_polarity,
+                      const float* init_activity,
+                      long long conflict_budget,
+                      long long* out_conflicts) {
+  Solver s(seed);
+  s.conflict_budget = conflict_budget;
+  if (!load_flat(s, n_vars, lits, n_lits)) {
+    if (out_conflicts) *out_conflicts = s.conflicts;
+    return 0;
+  }
+  if (init_polarity) {
+    for (int v = 0; v < n_vars; v++)
+      if (init_polarity[v] >= 0) s.polarity[v] = (init_polarity[v] == 0);
+  }
+  if (init_activity) {
+    for (int v = 0; v < n_vars; v++)
+      s.activity[v] = (double)init_activity[v];
+  }
+  LBool r = s.solve();
+  if (out_conflicts) *out_conflicts = s.conflicts;
+  if (r == L_TRUE) { extract_model(s, model); return 1; }
+  if (r == L_FALSE) return 0;
+  return -1;
+}
+
 // Enumerate up to max_models models (blocking-clause loop). Fills models
 // row-major [found, n_vars] (0/1). Returns the number found; if the
 // enumeration completed (no more models), sets *complete=1.

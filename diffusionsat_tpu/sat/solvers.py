@@ -36,6 +36,13 @@ class _NativeLib:
                 ctypes.POINTER(ctypes.c_int8), ctypes.c_uint64, ctypes.c_int,
                 ctypes.c_longlong,
             ]
+            lib.dsat_solve_seeded.restype = ctypes.c_int
+            lib.dsat_solve_seeded.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong, ctypes.POINTER(ctypes.c_longlong),
+            ]
             lib.dsat_enumerate.restype = ctypes.c_longlong
             lib.dsat_enumerate.argtypes = [
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -81,6 +88,50 @@ def solve(clauses: Sequence[Sequence[int]], n_vars: int | None = None,
     if r == 0:
         return False, []
     raise TimeoutError("CDCL conflict budget exhausted")
+
+
+def solve_seeded(clauses: Sequence[Sequence[int]], n_vars: int | None = None,
+                 seed: int = 0, polarity: np.ndarray | None = None,
+                 activity: np.ndarray | None = None,
+                 conflict_budget: int = -1
+                 ) -> tuple[bool, list[int], int]:
+    """CDCL with model-seeded search (`dsat_solve_seeded`).
+
+    `polarity`: per-var int8, -1 = solver default, 0/1 = try that value
+    first (phase init = the neural prediction). `activity`: per-var f32
+    initial VSIDS priors (confidence-ordered decisions). Returns
+    (is_sat, signed model, conflicts) — conflicts is the search-effort
+    metric the input-prior study compares. Raises TimeoutError on budget
+    exhaustion (conflict count still meaningful via the exception arg).
+    """
+    if n_vars is None:
+        n_vars = max((abs(l) for c in clauses for l in c), default=0)
+    flat = _flatten_clauses(clauses)
+    model = np.zeros(n_vars, dtype=np.int8)
+    pol_ptr = None
+    if polarity is not None:
+        polarity = np.ascontiguousarray(polarity, dtype=np.int8)
+        assert polarity.shape == (n_vars,)
+        pol_ptr = _as_ptr(polarity, ctypes.c_int8)
+    act_ptr = None
+    if activity is not None:
+        activity = np.ascontiguousarray(activity, dtype=np.float32)
+        assert activity.shape == (n_vars,)
+        act_ptr = _as_ptr(activity, ctypes.c_float)
+    conflicts = ctypes.c_longlong(0)
+    lib = _NativeLib.get()
+    r = lib.dsat_solve_seeded(
+        n_vars, _as_ptr(flat, ctypes.c_int32), len(flat),
+        _as_ptr(model, ctypes.c_int8), seed, pol_ptr, act_ptr,
+        conflict_budget, ctypes.byref(conflicts))
+    if r == 1:
+        return (True,
+                [(i + 1) if model[i] else -(i + 1) for i in range(n_vars)],
+                int(conflicts.value))
+    if r == 0:
+        return False, [], int(conflicts.value)
+    raise TimeoutError(
+        f"CDCL conflict budget exhausted ({int(conflicts.value)} conflicts)")
 
 
 def enumerate_models(clauses: Sequence[Sequence[int]], n_vars: int | None = None,
