@@ -62,6 +62,7 @@ class TSPMetrics:
         self.beam_width = beam_width
         self.use_beam = use_beam
         self.gaps: list[float] = []
+        self.sizes: list[int] = []
 
     def update_state(self, model_output: dict, batch: dict) -> None:
         preds = np.asarray(model_output["prediction"])  # [B, P, P]
@@ -95,6 +96,15 @@ class TSPMetrics:
             opt_len = tour_length(dist, opt_tour)
             if opt_len > 0:
                 self.gaps.append(model_len / opt_len - 1.0)
+                self.sizes.append(n)
+
+    # labels are exact (native Held-Karp) only up to this size; beyond it
+    # they are nearest-neighbor + 2-opt tours with a QUANTIFIED bias of
+    # ~1.2-1.8% mean gap (TSP_LABEL_FIDELITY.json) — the reference labels
+    # with Concorde at all sizes (/root/reference/data/tsp.py:6), so
+    # gaps vs >20-city labels are vs-heuristic, not vs-optimal, and the
+    # metric output says so explicitly (VERDICT r4 item 9).
+    EXACT_LABEL_MAX_N = 20
 
     def get_values(self, reset_state: bool = True) -> dict:
         out = {"optimality_gap": float(np.mean(self.gaps)) if self.gaps
@@ -102,6 +112,19 @@ class TSPMetrics:
                "solved_optimal": float(np.mean([g <= 1e-6 for g in
                                                 self.gaps]))
                if self.gaps else 0.0}
+        exact = [g for g, n in zip(self.gaps, self.sizes)
+                 if n <= self.EXACT_LABEL_MAX_N]
+        heur = [g for g, n in zip(self.gaps, self.sizes)
+                if n > self.EXACT_LABEL_MAX_N]
+        if heur:
+            out["gap_vs_exact_labels"] = (float(np.mean(exact))
+                                          if exact else None)
+            out["gap_vs_2opt_labels"] = float(np.mean(heur))
+            out["label_basis_note"] = (
+                f"{len(heur)} tours scored against 2-opt labels (n > "
+                f"{self.EXACT_LABEL_MAX_N}; heuristic labels carry "
+                "~1.2-1.8% mean bias, TSP_LABEL_FIDELITY.json)")
         if reset_state:
             self.gaps = []
+            self.sizes = []
         return out
