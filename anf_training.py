@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +159,26 @@ def main(argv=None):
         print(f"mega-steps: {len(train_batches)} chunks of <= {n} "
               f"steps/dispatch", flush=True)
 
+    # tiled block-sparse membership aggregation (ops/tiled_ops.py): the
+    # per-round segment SpMMs + anf_value_cplx angle sums run as batched
+    # MXU matmuls over the non-empty incidence tiles. Host-built per
+    # batch BEFORE device placement. Incompatible with --mega_steps
+    # (plans are per-batch data, not stackable shapes).
+    import os as _os
+    tiled = _os.environ.get("DSAT_ANF_TILED", "0") == "1"
+    tiles_list = None
+    if tiled and args.mega_steps > 1:
+        print("WARNING: DSAT_ANF_TILED ignored with --mega_steps > 1",
+              flush=True)
+        tiled = False
+    if tiled:
+        from diffusionsat_tpu.ops.tiled_ops import build_anf_tiles
+        t0 = time.time()
+        tiles_list = [build_anf_tiles(b) for b in train_batches]
+        print(f"ANF tiles built for {len(tiles_list)} batches "
+              f"({tiles_list[0].n_tiles} tiles on batch 0) in "
+              f"{time.time() - t0:.0f}s", flush=True)
+
     # pre-place every batch on the device ONCE: per-step host->device
     # uploads through the axon tunnel leak host memory (~batch-size/step,
     # never released until process exit) and cost a round-trip each; the
@@ -166,11 +187,22 @@ def main(argv=None):
         dev = jax.devices()[0]
         train_batches = [jax.device_put(b, dev) for b in train_batches]
         test_batches = [jax.device_put(b, dev) for b in test_batches]
+        if tiles_list is not None:
+            tiles_list = [jax.device_put(t, dev) for t in tiles_list]
         print("ANF batches device-cached", flush=True)
 
     if args.mega_steps > 1:
         from diffusionsat_tpu.train.loop import make_scanned_train_step_for
         step_fn = make_scanned_train_step_for(anf_sat_apply, cfg, opt)
+    elif tiled:
+        from diffusionsat_tpu.train.loop import make_planned_train_step_for
+        planned = make_planned_train_step_for(anf_sat_apply, cfg, opt,
+                                              plan_kw="tiles")
+
+        def step_fn(state, pair):
+            return planned(state, pair[0], pair[1])
+
+        train_batches = list(zip(train_batches, tiles_list))
     else:
         step_fn = make_train_step_for(anf_sat_apply, cfg, opt)
 

@@ -80,7 +80,7 @@ def cplx_and(a: jnp.ndarray, b: jnp.ndarray
 
 
 def anf_value_cplx(logits: jnp.ndarray, batch: ANFBatch,
-                   use_norm: bool = False):
+                   use_norm: bool = False, tiles=None):
     """Complex per-clause evaluation via angle/log-length accumulation
     (reference `anf_value_cplx_adj`, loss/anf.py:70-94).
 
@@ -102,8 +102,19 @@ def anf_value_cplx(logits: jnp.ndarray, batch: ANFBatch,
     and_im = jnp.concatenate([val_im, and_im0], axis=0)
     angle = jnp.arctan2(and_im, and_real)
     log_len = 0.5 * jnp.log(jnp.square(and_real) + jnp.square(and_im) + 1e-16)
-    sum_angles = _seg_to_clause(angle, batch)
-    sum_len = _seg_to_clause(log_len, batch)
+    if tiles is not None:
+        # tiled block-sparse aggregation (ops/tiled_ops.py). HIGHEST
+        # precision: angle/log-length sums feed exp/cos, where the bf16
+        # input rounding of the fast DEFAULT setting is not acceptable
+        # (the 0/1 incidence itself is exact either way)
+        from diffusionsat_tpu.ops.tiled_ops import tiled_lit_to_clause
+        sum_angles = tiled_lit_to_clause(
+            angle, tiles, precision=jax.lax.Precision.HIGHEST)
+        sum_len = tiled_lit_to_clause(
+            log_len, tiles, precision=jax.lax.Precision.HIGHEST)
+    else:
+        sum_angles = _seg_to_clause(angle, batch)
+        sum_len = _seg_to_clause(log_len, batch)
     clause_real = jnp.exp(sum_len) * jnp.cos(sum_angles)
     clause_im = jnp.exp(sum_len) * jnp.sin(sum_angles)
     return clause_real, clause_im, ands1, ands2

@@ -103,7 +103,8 @@ def _pair_norm(x, seg_ids, counts, mask, num_graphs, eps=1e-6):
 def anf_sat_apply(params: dict, cfg: ANFSATConfig, batch: ANFBatch,
                   key: jax.Array, training: bool = True,
                   labels: jnp.ndarray | None = None,
-                  rounds: int | None = None):
+                  rounds: int | None = None,
+                  tiles=None):
     mcfgs = cfg.mlp_configs()
     V, A, C = batch.V, batch.A, batch.C
     if rounds is None:
@@ -119,18 +120,33 @@ def anf_sat_apply(params: dict, cfg: ANFSATConfig, batch: ANFBatch,
         indices_are_sorted=True)[:, None]
     clause_degree_weight = jax.lax.rsqrt(jnp.maximum(clause_degree, 1.0))
 
-    def seg_to_clause(x_nodes):
-        g = jnp.take(x_nodes, batch.edge_node_c, axis=0)
-        g = g * batch.edge_mask_c[:, None]
-        return jax.ops.segment_sum(g, batch.edge_clause_c, num_segments=C,
-                                   indices_are_sorted=True)
+    # membership aggregations: flat sorted segment sums, or — with a
+    # `tiles` plan (ops/tiled_ops.build_tiled_from_edges over the masked
+    # (clause, value-node) edges) — block-sparse batched MXU matmuls,
+    # the same layout swap as the CNF flat path (ops/tiled_ops.py)
+    if tiles is not None:
+        from diffusionsat_tpu.ops.tiled_ops import (
+            tiled_clause_to_lit, tiled_lit_to_clause)
 
-    def seg_to_nodes(x_clauses):
-        g = jnp.take(x_clauses, batch.edge_clause_n, axis=0)
-        g = g * batch.edge_mask_n[:, None]
-        return jax.ops.segment_sum(g, batch.edge_node_n,
-                                   num_segments=batch.n_value_nodes,
-                                   indices_are_sorted=True)
+        def seg_to_clause(x_nodes):
+            return tiled_lit_to_clause(x_nodes, tiles)
+
+        def seg_to_nodes(x_clauses):
+            return tiled_clause_to_lit(x_clauses, tiles)
+    else:
+        def seg_to_clause(x_nodes):
+            g = jnp.take(x_nodes, batch.edge_node_c, axis=0)
+            g = g * batch.edge_mask_c[:, None]
+            return jax.ops.segment_sum(g, batch.edge_clause_c,
+                                       num_segments=C,
+                                       indices_are_sorted=True)
+
+        def seg_to_nodes(x_clauses):
+            g = jnp.take(x_clauses, batch.edge_clause_n, axis=0)
+            g = g * batch.edge_mask_n[:, None]
+            return jax.ops.segment_sum(g, batch.edge_node_n,
+                                       num_segments=batch.n_value_nodes,
+                                       indices_are_sorted=True)
 
     # AND operand variable indices, 0-based into [V] (operands are never
     # the constant in cgen-produced systems; guard anyway)
@@ -148,7 +164,8 @@ def anf_sat_apply(params: dict, cfg: ANFSATConfig, batch: ANFBatch,
                 [variables, jax.random.normal(key_t, (V, 4))], axis=-1)
             query = mlp_apply(params["variables_query"],
                               mcfgs["variables_query"][0], v1)
-            clauses_real, clauses_im, _, _ = anf_value_cplx(query, batch)
+            clauses_real, clauses_im, _, _ = anf_value_cplx(query, batch,
+                                                            tiles=tiles)
             query_msg = jnp.concatenate([clauses_real, clauses_im], axis=-1)
 
         ands1 = jnp.take(variables, a1_var, axis=0)  # [A, f]
@@ -217,7 +234,8 @@ def anf_sat_apply(params: dict, cfg: ANFSATConfig, batch: ANFBatch,
                 jnp.maximum(jnp.sum(ce_w), 1.0)
         else:
             neg2 = jnp.concatenate([-logits, jnp.zeros_like(logits)], axis=-1)
-            clauses_real, _, _, _ = anf_value_cplx(neg2, batch, use_norm=True)
+            clauses_real, _, _, _ = anf_value_cplx(neg2, batch,
+                                                   use_norm=True, tiles=tiles)
             per_clause_loss = jnp.square(1 - clauses_real) * \
                 batch.clause_mask[:, None]
             per_graph_loss = jax.ops.segment_sum(

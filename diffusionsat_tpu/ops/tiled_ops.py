@@ -52,16 +52,28 @@ class TiledIncidence:
 
 def build_tiled_incidence(batch, tc: int = 128, tl: int = 128,
                           pad_tiles: int = 64) -> TiledIncidence:
-    """Host-side tile build from a SatBatch's masked edge list.
+    """Host-side tile build from a SatBatch's masked edge list."""
+    em = np.asarray(batch.edge_mask_c) > 0
+    return build_tiled_from_edges(
+        np.asarray(batch.edge_clause_c)[em],
+        np.asarray(batch.edge_lit_c)[em],
+        int(batch.C), int(2 * batch.V), tc=tc, tl=tl, pad_tiles=pad_tiles)
+
+
+def build_tiled_from_edges(rows, cols, n_rows: int, n_cols: int,
+                           tc: int = 128, tl: int = 128,
+                           pad_tiles: int = 64) -> TiledIncidence:
+    """Tile an arbitrary (row, col) incidence edge list (already masked;
+    duplicate edges accumulate). Serves any bipartite membership
+    aggregation — CNF clause x literal, ANF clause x value-node.
 
     Only tiles containing at least one real edge are materialized; the
     tile count is rounded up to `pad_tiles` (zero blocks) so nearby batch
     sizes share one compiled shape.
     """
-    em = np.asarray(batch.edge_mask_c) > 0
-    cl = np.asarray(batch.edge_clause_c)[em].astype(np.int64)
-    lit = np.asarray(batch.edge_lit_c)[em].astype(np.int64)
-    C, L = int(batch.C), int(2 * batch.V)
+    cl = np.asarray(rows).astype(np.int64)
+    lit = np.asarray(cols).astype(np.int64)
+    C, L = int(n_rows), int(n_cols)
     n_rb = -(-C // tc)
     n_cb = -(-L // tl)
 
@@ -90,28 +102,45 @@ def build_tiled_incidence(batch, tc: int = 128, tl: int = 128,
         num_literals=L)
 
 
-def tiled_lit_to_clause(x: jnp.ndarray, ti: TiledIncidence) -> jnp.ndarray:
+def build_anf_tiles(batch, tc: int = 128, tl: int = 128,
+                    pad_tiles: int = 64) -> TiledIncidence:
+    """Tiles of an ANFBatch's clause x value-node membership incidence
+    (rows = clauses, cols = 1 + V + A value nodes). Replaces BOTH
+    directions of the ANF model's segment aggregations
+    (models/anf_sat.py seg_to_clause/seg_to_nodes and the
+    anf_value_cplx angle/log-length sums)."""
+    em = np.asarray(batch.edge_mask_c) > 0
+    return build_tiled_from_edges(
+        np.asarray(batch.edge_clause_c)[em],
+        np.asarray(batch.edge_node_c)[em],
+        int(batch.C), int(batch.n_value_nodes),
+        tc=tc, tl=tl, pad_tiles=pad_tiles)
+
+
+def tiled_lit_to_clause(x: jnp.ndarray, ti: TiledIncidence,
+                        precision=None) -> jnp.ndarray:
     """[2V, F] literal features -> [C, F] clause sums via tile matmuls."""
     F = x.shape[1]
     pad = ti.n_col_blocks * ti.tl - x.shape[0]
     xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(ti.n_col_blocks, ti.tl, F)
     g = jnp.take(xb, ti.col_blk, axis=0)                      # [T, Tl, F]
     prod = jnp.einsum("tcl,tlf->tcf", ti.blocks, g,
-                      precision=TILE_PRECISION)               # [T, Tc, F]
+                      precision=precision or TILE_PRECISION)  # [T, Tc, F]
     out = jax.ops.segment_sum(prod, ti.row_blk,
                               num_segments=ti.n_row_blocks,
                               indices_are_sorted=True)
     return out.reshape(ti.n_row_blocks * ti.tc, F)[:ti.num_clauses]
 
 
-def tiled_clause_to_lit(y: jnp.ndarray, ti: TiledIncidence) -> jnp.ndarray:
+def tiled_clause_to_lit(y: jnp.ndarray, ti: TiledIncidence,
+                        precision=None) -> jnp.ndarray:
     """[C, F] clause features -> [2V, F] literal sums (transpose SpMM)."""
     F = y.shape[1]
     pad = ti.n_row_blocks * ti.tc - y.shape[0]
     yb = jnp.pad(y, ((0, pad), (0, 0))).reshape(ti.n_row_blocks, ti.tc, F)
     g = jnp.take(yb, ti.row_blk, axis=0)                      # [T, Tc, F]
     prod = jnp.einsum("tcl,tcf->tlf", ti.blocks, g,
-                      precision=TILE_PRECISION)               # [T, Tl, F]
+                      precision=precision or TILE_PRECISION)  # [T, Tl, F]
     out = jax.ops.segment_sum(prod, ti.col_blk,
                               num_segments=ti.n_col_blocks)
     return out.reshape(ti.n_col_blocks * ti.tl, F)[:ti.num_literals]

@@ -232,6 +232,49 @@ def make_planned_train_step(cfg: QuerySATConfig,
     return train_step
 
 
+def make_planned_train_step_for(apply_fn: Callable, cfg,
+                                optimizer: optax.GradientTransformation,
+                                plan_kw: str = "plans"):
+    """Generic train step over (state, batch, plan): like
+    make_train_step_for but threading a per-batch execution plan into the
+    apply under keyword `plan_kw` — Pallas BatchPlans or a tiled-incidence
+    layout (ops/tiled_ops.TiledIncidence; the ANF model takes it as
+    `tiles`)."""
+    with_labels = _accepts_labels(apply_fn)
+    iso_alpha = float(getattr(cfg, "label_isolation_alpha", 0.0))
+
+    @jax.jit
+    def train_step(state: TrainState, batch, plan):
+        multilabel = with_labels and \
+            getattr(batch, "solutions_k", None) is not None
+        if multilabel:
+            key, subkey, k_label = jax.random.split(state.key, 3)
+            labels = _select_labels(batch, k_label,
+                                    isolation_alpha=iso_alpha)
+        else:
+            key, subkey = jax.random.split(state.key)
+            labels = batch.solutions
+
+        def loss_fn(params):
+            kw = {plan_kw: plan}
+            if with_labels:
+                kw["labels"] = labels
+            _, loss, steps, _ = apply_fn(params, cfg, batch, subkey,
+                                         training=True, **kw)
+            return loss, steps
+
+        (loss, steps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, key=key)
+        return new_state, {"loss": loss, "steps_taken": steps}
+
+    return train_step
+
+
 def make_diagnostics_step(cfg, apply_fn: Callable = query_sat_apply):
     """Jitted diagnostics forward: one extra training-mode pass with
     per-round in-model statistics enabled (aux["round_stats"]) plus a

@@ -136,3 +136,86 @@ def test_model_apply_tiled_plans_matches_unplanned():
     for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_t)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_anf_apply_tiled_matches_flat():
+    """ANF model with tiles == flat segment path: loss, logits, grads
+    (generic bipartite tiling, ops/tiled_ops.build_anf_tiles)."""
+    from diffusionsat_tpu.data.anf import RandomAnfInstances
+    from diffusionsat_tpu.graph.anf_batch import ANFBucket, build_anf_batch
+    from diffusionsat_tpu.models.anf_sat import (
+        ANFSATConfig,
+        anf_sat_apply,
+        anf_sat_init,
+    )
+    from diffusionsat_tpu.ops.tiled_ops import build_anf_tiles
+
+    gen = RandomAnfInstances(min_vars=4, max_vars=10, train_size=6,
+                             test_size=1, seed=2).train_generator()
+    tri = [next(gen) for _ in range(4)]
+    bucket = ANFBucket(max_vars=64, max_ands=128, max_clauses=64,
+                       max_edges=512, max_graphs=6)
+    batch = build_anf_batch([(n, eqs) for n, eqs, _ in tri], bucket,
+                            solutions=[bits for _, _, bits in tri])
+    cfg = ANFSATConfig(feature_maps=16, query_maps=16, train_rounds=2,
+                       test_rounds=2)
+    params = anf_sat_init(jax.random.key(0), cfg)
+    tiles = build_anf_tiles(batch, tc=16, tl=32, pad_tiles=4)
+    key = jax.random.key(3)
+
+    def run(t):
+        def loss_fn(p):
+            _, loss, _, _ = anf_sat_apply(p, cfg, batch, key,
+                                          training=True, tiles=t)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        logits, _, _, _ = anf_sat_apply(params, cfg, batch, key,
+                                        training=False, tiles=t)
+        return loss, grads, logits
+
+    loss_f, grads_f, logits_f = run(None)
+    loss_t, grads_t, logits_t = run(tiles)
+    np.testing.assert_allclose(float(loss_t), float(loss_f), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits_t), np.asarray(logits_f),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_t)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_anf_planned_train_step_descends():
+    from diffusionsat_tpu.data.anf import RandomAnfInstances
+    from diffusionsat_tpu.graph.anf_batch import ANFBucket, build_anf_batch
+    from diffusionsat_tpu.models.anf_sat import (
+        ANFSATConfig,
+        anf_sat_apply,
+        anf_sat_init,
+    )
+    from diffusionsat_tpu.ops.tiled_ops import build_anf_tiles
+    from diffusionsat_tpu.train.adabelief import adabelief
+    from diffusionsat_tpu.train.loop import (
+        TrainState,
+        make_planned_train_step_for,
+    )
+
+    gen = RandomAnfInstances(min_vars=4, max_vars=8, train_size=4,
+                             test_size=1, seed=4).train_generator()
+    tri = [next(gen) for _ in range(3)]
+    bucket = ANFBucket(max_vars=32, max_ands=64, max_clauses=32,
+                       max_edges=256, max_graphs=4)
+    batch = build_anf_batch([(n, eqs) for n, eqs, _ in tri], bucket,
+                            solutions=[bits for _, _, bits in tri])
+    cfg = ANFSATConfig(feature_maps=16, query_maps=16, train_rounds=2,
+                       test_rounds=2)
+    params = anf_sat_init(jax.random.key(0), cfg)
+    opt = adabelief(learning_rate=2e-3)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32), key=jax.random.key(1))
+    tiles = build_anf_tiles(batch, tc=16, tl=16, pad_tiles=4)
+    step = make_planned_train_step_for(anf_sat_apply, cfg, opt,
+                                       plan_kw="tiles")
+    losses = []
+    for _ in range(25):
+        state, out = step(state, batch, tiles)
+        losses.append(float(out["loss"]))
+    assert losses[-1] < losses[0]
