@@ -783,6 +783,108 @@ long long dsat_tsp_subtours(int batch, int padded, const float* preds,
 // Replaces the Python DP (tsp/data.py) that capped exact labels at n<=13;
 // the reference labels its Euclidean TSP data Concorde-optimally at all
 // sizes (reference data/tsp.py:6) — this closes the gap through n~20.
+// Exact TSP by depth-first branch-and-bound with an MST lower bound
+// (1-tree-lite): bound = path length + MST(unvisited) + cheapest edge
+// path-end->unvisited + cheapest edge unvisited->start. Nearest-first
+// child ordering makes the first DFS leaf the nearest-neighbor tour, so
+// good upper bounds arrive immediately. Exact for symmetric (Euclidean)
+// instances; uses min(d[i][j], d[j][i]) in the bound so mild asymmetry
+// stays admissible. Practical to n ~ 30 where Held-Karp's 2^n table
+// no longer fits memory. Returns the optimal length (out_tour filled,
+// starting at city 0) or -1.0 when node_budget was exhausted before the
+// search completed (caller should fall back to a heuristic label).
+struct TspBB {
+  int n;
+  const float* d;
+  std::vector<int> path, best_tour;
+  std::vector<bool> used;
+  double best = std::numeric_limits<double>::infinity();
+  long long nodes = 0, budget;
+  bool aborted = false;
+
+  double w(int i, int j) const {
+    float a = d[(size_t)i * n + j], b = d[(size_t)j * n + i];
+    return a < b ? a : b;
+  }
+
+  double mst_bound(int last) {
+    // Prim over unvisited nodes + connection edges to path-end and start
+    std::vector<int> un;
+    for (int j = 1; j < n; j++) if (!used[j]) un.push_back(j);
+    if (un.empty()) return w(last, 0);
+    int k = (int)un.size();
+    std::vector<double> key(k, std::numeric_limits<double>::infinity());
+    std::vector<bool> in(k, false);
+    key[0] = 0.0;
+    double mst = 0.0;
+    for (int it = 0; it < k; it++) {
+      int u = -1;
+      double bestk = std::numeric_limits<double>::infinity();
+      for (int i = 0; i < k; i++)
+        if (!in[i] && key[i] < bestk) { bestk = key[i]; u = i; }
+      if (u < 0) break;
+      in[u] = true;
+      mst += bestk;
+      for (int i = 0; i < k; i++)
+        if (!in[i]) {
+          double e = w(un[u], un[i]);
+          if (e < key[i]) key[i] = e;
+        }
+    }
+    double to_un = std::numeric_limits<double>::infinity();
+    double from_un = std::numeric_limits<double>::infinity();
+    for (int j : un) {
+      if (w(last, j) < to_un) to_un = w(last, j);
+      if (w(j, 0) < from_un) from_un = w(j, 0);
+    }
+    return mst + to_un + from_un;
+  }
+
+  void dfs(double len) {
+    if (aborted) return;
+    if (++nodes > budget) { aborted = true; return; }
+    int last = path.back();
+    if ((int)path.size() == n) {
+      double tot = len + d[(size_t)last * n + 0];
+      if (tot < best) { best = tot; best_tour = path; }
+      return;
+    }
+    if (len + mst_bound(last) >= best) return;
+    std::vector<std::pair<float, int>> cand;
+    for (int j = 1; j < n; j++)
+      if (!used[j]) cand.push_back({d[(size_t)last * n + j], j});
+    std::sort(cand.begin(), cand.end());
+    for (auto& c : cand) {
+      used[c.second] = true;
+      path.push_back(c.second);
+      dfs(len + d[(size_t)last * n + c.second]);
+      path.pop_back();
+      used[c.second] = false;
+      if (aborted) return;
+    }
+  }
+};
+
+double dsat_tsp_branch_bound(int n, const float* dist, int* out_tour,
+                             long long node_budget) {
+  if (n < 2 || n > 64 || !dist || !out_tour) return -1.0;
+  if (n == 2) {
+    out_tour[0] = 0; out_tour[1] = 1;
+    return (double)dist[1] + dist[2];
+  }
+  TspBB bb;
+  bb.n = n;
+  bb.d = dist;
+  bb.budget = node_budget > 0 ? node_budget : (1LL << 62);
+  bb.used.assign(n, false);
+  bb.used[0] = true;
+  bb.path.push_back(0);
+  bb.dfs(0.0);
+  if (bb.aborted || bb.best_tour.empty()) return -1.0;
+  for (int i = 0; i < n; i++) out_tour[i] = bb.best_tour[i];
+  return bb.best;
+}
+
 double dsat_tsp_held_karp(int n, const float* dist, int* out_tour) {
   if (n < 2 || n > 24 || !dist || !out_tour) return -1.0;
   if (n == 2) {

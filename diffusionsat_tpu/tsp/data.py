@@ -82,17 +82,59 @@ def native_held_karp(dist: np.ndarray) -> list[int] | None:
     return [int(x) for x in tour]
 
 
-def optimal_tour(dist: np.ndarray, seed: int = 0,
-                 exact_max_n: int = 20) -> list[int]:
-    """Best-available tour: native exact DP to `exact_max_n`, Python DP
-    fallback to 13, 2-opt beyond."""
+def native_branch_bound(dist: np.ndarray,
+                        node_budget: int = 50_000_000) -> list[int] | None:
+    """Exact tour via native DFS branch-and-bound with an MST lower bound
+    (solver.cpp dsat_tsp_branch_bound) — the exact-label extension past
+    Held-Karp's 2^n memory wall; ~1-2 s at n=30 on Euclidean instances.
+    None if the library is unavailable or the node budget was exhausted
+    before optimality was proven (caller falls back to 2-opt)."""
+    import ctypes
+
+    try:
+        from diffusionsat_tpu.sat.solvers import _NativeLib
+        lib = _NativeLib.get()
+    except Exception:
+        return None
+    if not hasattr(lib, "_bb_ready"):
+        lib.dsat_tsp_branch_bound.restype = ctypes.c_double
+        lib.dsat_tsp_branch_bound.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_longlong]
+        lib._bb_ready = True
     n = len(dist)
-    if n <= exact_max_n:
+    d = np.ascontiguousarray(dist, dtype=np.float32)
+    tour = np.zeros(n, dtype=np.int32)
+    length = lib.dsat_tsp_branch_bound(
+        n, d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tour.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), node_budget)
+    if length < 0:
+        return None
+    return [int(x) for x in tour]
+
+
+# labels are exact up to this size: Held-Karp DP to 20, branch-and-bound
+# to 30 (TSP_LABEL_FIDELITY.json quantified the old 2-opt labels at
+# 1.2-1.8% mean gap over n 14-20; both exact paths remove that bias)
+EXACT_LABEL_MAX_N = 30
+
+
+def optimal_tour(dist: np.ndarray, seed: int = 0,
+                 exact_max_n: int = EXACT_LABEL_MAX_N) -> list[int]:
+    """Best-available tour: native exact DP to n<=20, native exact
+    branch-and-bound to `exact_max_n`, Python DP fallback to 13, 2-opt
+    beyond (or if the B&B node budget runs out)."""
+    n = len(dist)
+    if n <= min(exact_max_n, 20):
         tour = native_held_karp(dist)
         if tour is not None:
             return tour
         if n <= 13:
             return held_karp(dist)
+    elif n <= exact_max_n:
+        tour = native_branch_bound(dist)
+        if tour is not None:
+            return tour
     return two_opt_tour(dist, seed)
 
 

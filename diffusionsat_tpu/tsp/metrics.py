@@ -98,13 +98,14 @@ class TSPMetrics:
                 self.gaps.append(model_len / opt_len - 1.0)
                 self.sizes.append(n)
 
-    # labels are exact (native Held-Karp) only up to this size; beyond it
-    # they are nearest-neighbor + 2-opt tours with a QUANTIFIED bias of
-    # ~1.2-1.8% mean gap (TSP_LABEL_FIDELITY.json) — the reference labels
-    # with Concorde at all sizes (/root/reference/data/tsp.py:6), so
-    # gaps vs >20-city labels are vs-heuristic, not vs-optimal, and the
-    # metric output says so explicitly (VERDICT r4 item 9).
-    EXACT_LABEL_MAX_N = 20
+    # labels are exact (native Held-Karp to 20, branch-and-bound to 30,
+    # tsp/data.py) only up to this size; beyond it they are
+    # nearest-neighbor + 2-opt tours with a QUANTIFIED bias of ~1.2-1.8%
+    # mean gap (TSP_LABEL_FIDELITY.json) — the reference labels with
+    # Concorde at all sizes (/root/reference/data/tsp.py:6), so gaps vs
+    # larger-n labels are vs-heuristic, not vs-optimal, and the metric
+    # output says so explicitly (VERDICT r4 item 9).
+    from diffusionsat_tpu.tsp.data import EXACT_LABEL_MAX_N
 
     def get_values(self, reset_state: bool = True) -> dict:
         out = {"optimality_gap": float(np.mean(self.gaps)) if self.gaps

@@ -48,3 +48,26 @@ def test_optimal_tour_dispatch():
     d = _euclid(rng, 16)
     t = optimal_tour(d)
     assert sorted(t) == list(range(16))
+
+
+def test_branch_bound_matches_held_karp():
+    from diffusionsat_tpu.tsp.data import native_branch_bound
+
+    rng = np.random.default_rng(5)
+    for n in (8, 13, 17, 22):   # 22 > the old HK label cutoff, <= HK's 24
+        d = _euclid(rng, n)
+        bb = native_branch_bound(d)
+        assert sorted(bb) == list(range(n))
+        assert abs(tour_length(d, bb)
+                   - tour_length(d, native_held_karp(d))) < 1e-4
+
+
+def test_optimal_tour_exact_past_20():
+    from diffusionsat_tpu.tsp.data import EXACT_LABEL_MAX_N
+    assert EXACT_LABEL_MAX_N >= 30
+    rng = np.random.default_rng(6)
+    d = _euclid(rng, 23)
+    t = optimal_tour(d)
+    assert sorted(t) == list(range(23))
+    assert abs(tour_length(d, t)
+               - tour_length(d, native_held_karp(d))) < 1e-4
