@@ -212,9 +212,14 @@ def main(argv=None):
                                 max_batches=max_batches,
                                 apply_fn=anf_sat_apply)
 
+    remaining = max(args.train_steps - int(state.step), 0)
     state = train(state, step_fn, ds.repeat_shuffled(train_batches),
-                  steps=-(-max(args.train_steps - int(state.step), 0)
+                  # 2x chunk headroom under mega-steps; target_step stops
+                  # at the real optimizer-step budget (partial trailing
+                  # chunks advance < mega_div steps each)
+                  steps=-(-remaining * (2 if mega_div > 1 else 1)
                           // mega_div),
+                  target_step=args.train_steps,
                   eval_fn=eval_fn,
                   eval_every=max(1, args.eval_every // mega_div),
                   checkpoint_fn=mgr.save,

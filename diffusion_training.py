@@ -420,12 +420,17 @@ def main(argv=None):
     tb = TBWriter(run_dir / "tb")
     tb.hparams(dataclasses_asdict(cfg))
 
-    # with mega-steps each train() iteration advances `mega_div` real
-    # steps; cadences round to chunk boundaries
+    # with mega-steps each train() iteration advances UP TO `mega_div`
+    # real steps (trailing partial chunks advance fewer); the chunk-count
+    # cap carries 2x headroom and target_step stops the loop at the real
+    # optimizer-step budget (the r5 iso45full run under-ran 167k -> 127k
+    # before this accounting fix)
     mega_div = cfg.mega_steps if mega_chunks is not None else 1
+    remaining = max(cfg.train_steps - int(state.step), 0)
     state = train(
         state, train_step, data_stream,
-        steps=-(-max(cfg.train_steps - int(state.step), 0) // mega_div),
+        steps=-(-remaining * (2 if mega_div > 1 else 1) // mega_div),
+        target_step=cfg.train_steps,
         eval_fn=eval_fn, eval_every=max(1, cfg.eval_every // mega_div),
         checkpoint_fn=mgr.save,
         ckpt_every=max(1, cfg.ckpt_every // mega_div),

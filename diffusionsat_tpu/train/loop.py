@@ -451,9 +451,18 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
           checkpoint_fn: Callable[[TrainState], None] | None = None,
           ckpt_every: int = 1000,
           log_file: str | Path | None = None,
-          tb_writer=None) -> TrainState:
+          tb_writer=None,
+          target_step: int | None = None) -> TrainState:
     """Driver loop (reference diffusion_training.py:277-350). `tb_writer`
-    (train/tb.TBWriter) mirrors the JSONL records into TensorBoard."""
+    (train/tb.TBWriter) mirrors the JSONL records into TensorBoard.
+
+    `target_step`: stop once state.step reaches it, checked at log
+    boundaries (mega-step chunks advance state.step by their actual
+    stacked length, which is < mega_steps for trailing partial chunks —
+    a fixed `steps` chunk count alone under-runs the schedule by the
+    partial-chunk fraction; the r5 iso45full '167k' run executed 127,208
+    optimizer steps this way). Overshoot is bounded by one log window's
+    worth of chunks."""
     import json
 
     t0 = time.time()
@@ -488,6 +497,8 @@ def train(state: TrainState, train_step, data_iter: Iterator[SatBatch],
             if tb_writer is not None:
                 tb_writer.scalars(step, msg)
             window_losses = []
+            if target_step is not None and step >= target_step:
+                break
         if eval_fn is not None and (i + 1) % eval_every == 0:
             vals = eval_fn(state)
             eval_step = int(state.step)

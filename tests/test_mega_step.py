@@ -127,3 +127,21 @@ def test_scanned_equals_sequential_with_isolation():
                                    atol=1e-6)
     assert jnp.all(jax.random.key_data(state_a.key)
                    == jax.random.key_data(state_b.key))
+
+
+def test_train_target_step_stops_at_budget():
+    """train(target_step=...) must stop at the optimizer-step budget even
+    when each call advances multiple steps with a generous chunk-count
+    cap (the mega-step partial-chunk under-run fix)."""
+    from diffusionsat_tpu.train.loop import train
+
+    class S:
+        def __init__(self, step):
+            self.step = step
+
+    def fake_step(state, batch):
+        return S(state.step + 3), {"loss": jnp.zeros(())}
+
+    out = train(S(0), fake_step, iter(lambda: 0, 1), steps=100,
+                log_every=1, target_step=10)
+    assert 10 <= int(out.step) < 13
