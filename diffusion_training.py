@@ -215,11 +215,23 @@ def main(argv=None):
             # tunnel); index order is preserved across device_put below.
             flat_plans = None
             if flat_rest and jax.default_backend() == "tpu":
-                from diffusionsat_tpu.ops.pallas_segsum import (
-                    build_batch_plans)
-                plans = [build_batch_plans(b) for b in flat_rest]
-                if all(p is not None for p in plans):
-                    flat_plans = plans
+                # flat execution backend for over-cutoff graphs:
+                # block-sparse tiles are the measured best everywhere
+                # (BENCH_FLAT_TILED: 1.17x on SHA-1 CNFs, 1.62x on
+                # SATLIB-scale vs flat XLA; Pallas plans read 1.02-1.04x)
+                # — default tiled, DSAT_FLAT_BACKEND=pallas|xla reverts
+                backend = _os.environ.get("DSAT_FLAT_BACKEND", "tiled")
+                if backend == "tiled":
+                    from diffusionsat_tpu.ops.tiled_ops import (
+                        build_tiled_incidence)
+                    flat_plans = [build_tiled_incidence(b)
+                                  for b in flat_rest]
+                elif backend == "pallas":
+                    from diffusionsat_tpu.ops.pallas_segsum import (
+                        build_batch_plans)
+                    plans = [build_batch_plans(b) for b in flat_rest]
+                    if all(p is not None for p in plans):
+                        flat_plans = plans
             # mega-steps: stack same-shape batches into N-step chunks on
             # the HOST (stacking device-resident arrays would fetch them
             # back through the tunnel), one lax.scan dispatch per chunk
