@@ -164,8 +164,11 @@ def main(argv=None):
     # MXU matmuls over the non-empty incidence tiles. Host-built per
     # batch BEFORE device placement. Incompatible with --mega_steps
     # (plans are per-batch data, not stackable shapes).
+    # default ON since the r5 measurement: r17 train step 111.6 -> 73.6 ms
+    # (1.52x, BENCH_ANF_TILED.json); DSAT_ANF_TILED=0 reverts to the flat
+    # segment path
     import os as _os
-    tiled = _os.environ.get("DSAT_ANF_TILED", "0") == "1"
+    tiled = _os.environ.get("DSAT_ANF_TILED", "1") == "1"
     tiles_list = None
     if tiled and args.mega_steps > 1:
         print("WARNING: DSAT_ANF_TILED ignored with --mega_steps > 1",
